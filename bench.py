@@ -1,0 +1,68 @@
+"""Benchmark: particle-updates/sec on the sand3-class scene (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline target (BASELINE.md "Our target"): 1e9 particle-updates/sec.
+One particle-update = one particle advanced through one substep (the full
+P2G -> grid -> G2P pipeline), the same unit the reference's g2p2g kernel
+processes per thread per substep.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+BASELINE_PUPS = 1.0e9
+
+
+def main():
+    scale = os.environ.get("SPARKL_BENCH_SCALE", "full")
+    frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "3"))
+
+    import sparkl_tpu.scenes as scenes
+    from sparkl_tpu.solver.pipeline import MpmPipeline
+
+    if scale == "full":
+        b = scenes.build("sand3")  # 500k particles, ref examples3d/sand3.rs
+    else:
+        n = int(scale)
+        b = scenes.build("sand3", nx=n, ny=n // 2, nz=n // 2)
+
+    pipe = MpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+    p = b.particles
+    n_active = int(np.asarray(p.num_active))
+
+    # Warmup / compile.
+    p, niter = pipe.step_with_stats(p)
+    jax.block_until_ready(p.position)
+
+    t0 = time.perf_counter()
+    total_substeps = 0
+    for _ in range(frames):
+        p, niter = pipe.step_with_stats(p)
+        jax.block_until_ready(p.position)
+        total_substeps += int(niter)
+    elapsed = time.perf_counter() - t0
+
+    pups = n_active * total_substeps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "sand3_particle_updates_per_sec",
+                "value": pups,
+                "unit": "particle-updates/s",
+                "vs_baseline": pups / BASELINE_PUPS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Solver parameters and enums.
+
+Ref: sparkl `src_core/dynamics/solver/solver_parameters.rs` (SolverParameters,
+BoundaryHandling, DamageModel, SimulationDofs). These are static (trace-time)
+configuration: changing them retriggers XLA compilation, which matches how the
+reference treats them (fixed per scene).
+"""
+
+import enum
+from dataclasses import dataclass, field
+
+
+class BoundaryHandling(enum.IntEnum):
+    STICK = 0
+    FRICTION = 1
+    FRICTION_Z_UP = 2
+    NONE = 3
+
+
+class DamageModel(enum.IntEnum):
+    NONE = 0
+    CD_MPM = 1
+    EIGENEROSION = 2
+    MODIFIED_EIGENEROSION = 3
+
+
+class SimulationDofs(enum.IntFlag):
+    LOCK_NONE = 0
+    LOCK_X = 1
+    LOCK_Y = 2
+    LOCK_Z = 4
+
+
+@dataclass(frozen=True)
+class SolverParameters:
+    """Defaults mirror solver_parameters.rs:54-68 (dt=1/60, Friction, no damage)."""
+
+    dt: float = 1.0 / 60.0
+    max_substep_dt: float = float("inf")
+    max_num_substeps: int = 1000
+    boundary_handling: BoundaryHandling = BoundaryHandling.FRICTION
+    damage_model: DamageModel = DamageModel.NONE
+    force_fluids_volume_recomputation: bool = False
+    enable_boundary_particle_projection: bool = False
+    stop_after_one_substep: bool = False
+    simulation_dofs: SimulationDofs = SimulationDofs.LOCK_NONE

@@ -1,0 +1,10 @@
+from sparkl_tpu.geometry.colliders import (
+    Collider,
+    ColliderSet,
+    cuboid,
+    halfspace,
+    ball,
+    capsule,
+    heightfield,
+    polyline,
+)

@@ -1,0 +1,289 @@
+"""Rigid colliders as analytic point-projection shapes.
+
+TPU-first replacement for parry shape trait objects / BVH traversal
+(ref: sparkl `src_kernels/gpu_collider.rs` GpuColliderShape::{Cuboid,
+HeightField, Polyline, TriMesh} and `src/dynamics/solver/grid_update.rs`
+which calls `shape.project_point(pos, solid=false)` per grid cell).
+
+Every shape implements `project_point(points) -> (proj, is_inside)` where
+`proj` is the closest point ON THE BOUNDARY (matching parry's solid=false
+convention — the reference always projects onto the boundary so interior
+cells get a meaningful outward direction) and `is_inside` flags containment.
+All projections are vectorized over arbitrary leading axes of `points`.
+
+Colliders are trace-time constants (scenes have a static collider set, like
+the reference's lazily-rebuilt CudaColliderSet); moving colliders can be
+expressed by re-tracing or via the hooks API.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+CUBOID = 0
+HALFSPACE = 1
+BALL = 2
+HEIGHTFIELD = 3
+POLYLINE = 4
+CAPSULE = 5
+
+
+@dataclass(frozen=True)
+class Collider:
+    shape_type: int
+    # Shape-specific geometry (numpy; becomes XLA constants under jit).
+    data: tuple
+    translation: np.ndarray
+    rotation: np.ndarray  # [d, d]
+    friction: float = 0.0
+    # Per-collider overrides (ref: CudaColliderOptions, cuda_collider_set.rs:22-39).
+    penalty_stiffness: float = 0.0
+    boundary_handling: Optional[int] = None  # overrides SolverParameters when set
+
+    def to_local(self, p):
+        rt = jnp.asarray(self.rotation.T, p.dtype)
+        t = jnp.asarray(self.translation, p.dtype)
+        return (p - t) @ rt.T
+
+    def to_world(self, p_local):
+        r = jnp.asarray(self.rotation, p_local.dtype)
+        t = jnp.asarray(self.translation, p_local.dtype)
+        return p_local @ r.T + t
+
+    def project_point(self, points):
+        """Returns (closest boundary point [..., d], is_inside [...])."""
+        p = self.to_local(points)
+        if self.shape_type == CUBOID:
+            proj, inside = _project_cuboid(p, self.data[0])
+        elif self.shape_type == HALFSPACE:
+            proj, inside = _project_halfspace(p, self.data[0])
+        elif self.shape_type == BALL:
+            proj, inside = _project_ball(p, self.data[0])
+        elif self.shape_type == HEIGHTFIELD:
+            proj, inside = _project_heightfield(p, *self.data)
+        elif self.shape_type == POLYLINE:
+            proj, inside = _project_polyline(p, self.data[0])
+        elif self.shape_type == CAPSULE:
+            proj, inside = _project_capsule(p, *self.data)
+        else:
+            raise ValueError(f"unknown shape {self.shape_type}")
+        return self.to_world(proj), inside
+
+
+def _identity_pose(dim, translation=None, rotation=None):
+    t = np.zeros(dim, np.float32) if translation is None else np.asarray(translation, np.float32)
+    r = np.eye(dim, dtype=np.float32) if rotation is None else np.asarray(rotation, np.float32)
+    return t, r
+
+
+def cuboid(half_extents, translation=None, rotation=None, friction=0.0, **kw):
+    """Axis-aligned box (in local frame). Ref: rapier ColliderBuilder::cuboid."""
+    he = np.asarray(half_extents, np.float32)
+    t, r = _identity_pose(len(he), translation, rotation)
+    return Collider(CUBOID, (he,), t, r, friction, **kw)
+
+
+def halfspace(normal, translation=None, friction=0.0, **kw):
+    n = np.asarray(normal, np.float32)
+    n = n / np.linalg.norm(n)
+    t, r = _identity_pose(len(n), translation, None)
+    return Collider(HALFSPACE, (n,), t, r, friction, **kw)
+
+
+def ball(radius, translation=None, friction=0.0, **kw):
+    t = np.asarray(translation, np.float32)
+    return Collider(BALL, (float(radius),), t, np.eye(len(t), dtype=np.float32), friction, **kw)
+
+
+def capsule(a, b, radius, friction=0.0, **kw):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    t, r = _identity_pose(len(a), None, None)
+    return Collider(CAPSULE, (a, b, float(radius)), t, r, friction, **kw)
+
+
+def heightfield(heights, scale, translation=None, rotation=None, friction=0.0, **kw):
+    """Heightfield over the last horizontal axis/axes.
+
+    2D: heights[nx] over x in [-sx/2, sx/2], y = h * sy.
+    3D: heights[nx, nz] over (x, z) in [-sx/2, sx/2] x [-sz/2, sz/2], y = h * sy.
+    Matches parry's heightfield parameterization used by the reference scenes
+    (e.g. examples3d/sand3.rs:30-38).
+    """
+    h = np.asarray(heights, np.float32)
+    s = np.asarray(scale, np.float32)
+    dim = len(s)
+    t, r = _identity_pose(dim, translation, rotation)
+    return Collider(HEIGHTFIELD, (h, s), t, r, friction, **kw)
+
+
+def polyline(points, translation=None, rotation=None, friction=0.0, closed=True, **kw):
+    """2D polyline obstacle; `closed` loops the last point to the first.
+
+    Ref: gpu_collider.rs `polyline_project_point` (distance + winding test).
+    """
+    pts = np.asarray(points, np.float32)
+    if closed and not np.allclose(pts[0], pts[-1]):
+        pts = np.concatenate([pts, pts[:1]], axis=0)
+    t, r = _identity_pose(2, translation, rotation)
+    return Collider(POLYLINE, (pts,), t, r, friction, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Shape projections (local frame)
+# ---------------------------------------------------------------------------
+
+
+def _project_cuboid(p, half_extents):
+    he = jnp.asarray(half_extents, p.dtype)
+    clamped = jnp.clip(p, -he, he)
+    outside = jnp.any(jnp.abs(p) > he, axis=-1)
+
+    # Inside: snap the axis closest to a face.
+    gap = he - jnp.abs(p)  # >= 0 inside
+    axis = jnp.argmin(gap, axis=-1)
+    snap = jnp.sign(p) * he
+    onehot = jax_onehot(axis, p.shape[-1], p.dtype)
+    inner = p * (1.0 - onehot) + snap * onehot
+    proj = jnp.where(outside[..., None], clamped, inner)
+    return proj, ~outside
+
+
+def jax_onehot(idx, k, dtype):
+    return (idx[..., None] == jnp.arange(k)).astype(dtype)
+
+
+def _project_halfspace(p, normal):
+    n = jnp.asarray(normal, p.dtype)
+    d = jnp.sum(p * n, axis=-1)
+    proj = p - d[..., None] * n
+    return proj, d < 0.0
+
+
+def _project_ball(p, radius):
+    r = jnp.linalg.norm(p, axis=-1)
+    safe = jnp.maximum(r, 1e-12)
+    proj = p / safe[..., None] * radius
+    # Center point: project to an arbitrary surface point.
+    proj = jnp.where((r < 1e-12)[..., None], jnp.zeros_like(p).at[..., 0].set(radius), proj)
+    return proj, r < radius
+
+
+def _project_capsule(p, a, b, radius):
+    a = jnp.asarray(a, p.dtype)
+    b = jnp.asarray(b, p.dtype)
+    ab = b - a
+    t = jnp.clip(
+        jnp.sum((p - a) * ab, axis=-1) / jnp.maximum(jnp.sum(ab * ab), 1e-12), 0.0, 1.0
+    )
+    c = a + t[..., None] * ab
+    d = p - c
+    r = jnp.linalg.norm(d, axis=-1)
+    safe = jnp.maximum(r, 1e-12)
+    proj = c + d / safe[..., None] * radius
+    return proj, r < radius
+
+
+def _project_heightfield(p, heights, scale):
+    """Tangent-plane approximation of closest-point projection.
+
+    Good for terrain-like fields (all reference scenes); the projection
+    direction follows the local surface normal n = normalize([-dh/dx, 1,
+    -dh/dz]), proj = p - sd·n with sd the plane-signed distance.
+    """
+    h = jnp.asarray(heights, p.dtype)
+    s = jnp.asarray(scale, p.dtype)
+    dim = p.shape[-1]
+    if dim == 2:
+        nx = h.shape[0]
+        # Local x in [-sx/2, sx/2] maps to [0, nx-1].
+        u = (p[..., 0] / s[0] + 0.5) * (nx - 1)
+        u = jnp.clip(u, 0.0, nx - 1.000001)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        fu = u - i0
+        h0 = h[i0]
+        h1 = h[jnp.minimum(i0 + 1, nx - 1)]
+        height = (h0 * (1 - fu) + h1 * fu) * s[1]
+        dhdx = (h1 - h0) * s[1] / (s[0] / (nx - 1))
+        n = jnp.stack([-dhdx, jnp.ones_like(dhdx)], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        sd = (p[..., 1] - height) * n[..., 1]
+        proj = p - sd[..., None] * n
+        return proj, p[..., 1] < height
+    else:
+        nx, nz = h.shape
+        u = (p[..., 0] / s[0] + 0.5) * (nx - 1)
+        w = (p[..., 2] / s[2] + 0.5) * (nz - 1)
+        u = jnp.clip(u, 0.0, nx - 1.000001)
+        w = jnp.clip(w, 0.0, nz - 1.000001)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        k0 = jnp.floor(w).astype(jnp.int32)
+        fu = u - i0
+        fw = w - k0
+        i1 = jnp.minimum(i0 + 1, nx - 1)
+        k1 = jnp.minimum(k0 + 1, nz - 1)
+        h00 = h[i0, k0]
+        h10 = h[i1, k0]
+        h01 = h[i0, k1]
+        h11 = h[i1, k1]
+        height = (
+            h00 * (1 - fu) * (1 - fw)
+            + h10 * fu * (1 - fw)
+            + h01 * (1 - fu) * fw
+            + h11 * fu * fw
+        ) * s[1]
+        dx = s[0] / (nx - 1)
+        dz = s[2] / (nz - 1)
+        dhdx = ((h10 - h00) * (1 - fw) + (h11 - h01) * fw) * s[1] / dx
+        dhdz = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) * s[1] / dz
+        n = jnp.stack([-dhdx, jnp.ones_like(dhdx), -dhdz], axis=-1)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        sd = jnp.sum((p - jnp.stack([p[..., 0], height, p[..., 2]], axis=-1)) * n, axis=-1)
+        proj = p - sd[..., None] * n
+        return proj, p[..., 1] < height
+
+
+def _project_polyline(p, pts):
+    """Closest point on a 2D polyline + even-odd inside test.
+
+    Ref: gpu_collider.rs `polyline_project_point` (:99-201).
+    """
+    pts = jnp.asarray(pts, p.dtype)
+    a = pts[:-1]  # [S, 2]
+    b = pts[1:]
+    ab = b - a  # [S, 2]
+    ap = p[..., None, :] - a  # [..., S, 2]
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-20)
+    t = jnp.clip(jnp.sum(ap * ab, axis=-1) / denom, 0.0, 1.0)
+    closest = a + t[..., None] * ab  # [..., S, 2]
+    d2 = jnp.sum((p[..., None, :] - closest) ** 2, axis=-1)
+    best = jnp.argmin(d2, axis=-1)
+    proj = jnp.take_along_axis(closest, best[..., None, None], axis=-2)[..., 0, :]
+
+    # Even-odd crossing test with a +x ray.
+    ya = a[..., 1]
+    yb = b[..., 1]
+    px = p[..., 0:1]
+    py = p[..., 1:2]
+    cond = (ya <= py) != (yb <= py)  # segment spans the ray's y
+    xint = a[..., 0] + (py - ya) / jnp.where(
+        jnp.abs(yb - ya) < 1e-20, 1e-20, yb - ya
+    ) * (b[..., 0] - a[..., 0])
+    crossings = jnp.sum((cond & (xint > px)).astype(jnp.int32), axis=-1)
+    inside = (crossings % 2) == 1
+    return proj, inside
+
+
+@dataclass(frozen=True)
+class ColliderSet:
+    """Static tuple of colliders (ref: rapier ColliderSet / CudaColliderSet)."""
+
+    colliders: Tuple[Collider, ...] = ()
+
+    def __iter__(self):
+        return iter(self.colliders)
+
+    def __len__(self):
+        return len(self.colliders)

@@ -1,0 +1,211 @@
+"""2D scenes. Ref: examples2d/{elasticity2,fluids2,basic2,l_panel2}.rs."""
+
+import numpy as np
+
+import sparkl_tpu.scenes as sc
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.core.params import (
+    BoundaryHandling,
+    DamageModel,
+    SolverParameters,
+)
+from sparkl_tpu.core.particles import Particles, cube_particles
+from sparkl_tpu.geometry.colliders import cuboid, heightfield
+from sparkl_tpu.models import registry as reg
+
+
+def _star_points(w):
+    """8-point star from elasticity2.rs:52-60."""
+    return np.array(
+        [
+            [w, -w],
+            [w * 0.5, 0.0],
+            [w, w],
+            [0.0, w * 0.5],
+            [-w, w],
+            [-w * 0.5, 0.0],
+            [-w, -w],
+            [0.0, -w * 0.5],
+        ],
+        np.float32,
+    )
+
+
+def _polygon_contains(poly, pts):
+    """Even-odd test, vectorized numpy."""
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+    inside = np.zeros(len(pts), bool)
+    for (ax, ay), (bx, by) in zip(a, b):
+        cond = (ay <= pts[:, 1]) != (by <= pts[:, 1])
+        denom = np.where(np.abs(by - ay) < 1e-20, 1e-20, by - ay)
+        xint = ax + (pts[:, 1] - ay) / denom * (bx - ax)
+        inside ^= cond & (xint > pts[:, 0])
+    return inside
+
+
+def _sample_polygon(poly, offset, model_id, radius, density, **overrides):
+    lo = poly.min(axis=0) - radius
+    hi = poly.max(axis=0) + radius
+    xs = np.arange(lo[0], hi[0], 2 * radius, dtype=np.float32)
+    ys = np.arange(lo[1], hi[1], 2 * radius, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    pts = pts[_polygon_contains(poly, pts)]
+    return Particles.from_positions(
+        pts + np.asarray(offset, np.float32), model_id, radius, density, **overrides
+    )
+
+
+@sc.register_scene("elasticity2")
+def elasticity2(seed=42):
+    """5 star-shaped corotated+Rankine blocks dropping (the 2D baseline scene).
+
+    Ref: examples2d/elasticity2.rs (E=2e4, nu=0.35, Rankine(1e2, 5.0),
+    cell_width=0.05, r=h/4, density=2, crack factor 0.9 / threshold 1 /
+    m_c 0.01 / g 20000).
+    """
+    e, nu = 2.0e4, 0.35
+    h = 0.05
+    ground_height = h * 10.0
+    ground_shift = h * 40.0
+
+    colliders = (
+        cuboid((1000.0, ground_height), translation=(0.0, ground_shift - ground_height)),
+        cuboid((ground_height, 1000.0), translation=(ground_shift - ground_height, 0.0)),
+        cuboid(
+            (ground_height, 1000.0),
+            translation=(ground_shift - ground_height + ground_shift * 8.0, 0.0),
+        ),
+    )
+
+    models = reg.ModelSet.pack(
+        [
+            reg.ParticleModel(
+                reg.corotated_linear_elasticity(e, nu),
+                reg.rankine_plasticity(e, nu, 1.0e2, 5.0),
+            )
+        ]
+    )
+
+    rng = np.random.default_rng(seed)
+    star = _star_points(h * 20.0)
+    blocks = []
+    for _ in range(5):
+        cx = ground_shift + h * 40.0 * (rng.integers(0, 5) + 1)
+        cy = ground_shift + h * 40.0 * (rng.integers(0, 5) + 1)
+        blocks.append(
+            _sample_polygon(
+                star,
+                (cx, cy),
+                0,
+                h / 4.0,
+                2.0,
+                crack_propagation_factor=0.9,
+                crack_threshold=1.0,
+                m_c=0.01,
+                g=20000.0,
+            )
+        )
+    particles = Particles.concatenate(tuple(blocks))
+
+    grid = GridParams.for_domain((1.0, 1.0), (14.5, 14.5), h, pad=3)
+    return sc.SceneBundle(
+        name="elasticity2",
+        grid=grid,
+        models=models,
+        colliders=colliders,
+        particles=particles,
+        params=SolverParameters(dt=1.0 / 60.0),
+        gravity=(0.0, -9.81),
+    )
+
+
+@sc.register_scene("fluids2")
+def fluids2(n=300):
+    """90k-particle SPH-EOS dam break. Ref: examples2d/fluids2.rs."""
+    h = 0.1
+    ground_height = h * 10.0
+    ground_shift = h * 40.0
+    colliders = (
+        cuboid((1000.0, ground_height), translation=(0.0, ground_shift - ground_height)),
+        cuboid((ground_height, 1000.0), translation=(ground_shift - ground_height, 0.0)),
+        cuboid(
+            (ground_height, 1000.0),
+            translation=(ground_shift - ground_height + ground_shift * 8.0, 0.0),
+        ),
+    )
+    models = reg.ModelSet.pack(
+        [reg.ParticleModel(reg.monaghan_sph_eos(1.0e4, 7, 1.01e-3, 1.0))]
+    )
+    particles = cube_particles(
+        origin=(
+            ground_shift + h * 2.0 + h / 4.0,
+            ground_shift + h * 2.0 + h / 4.0,
+        ),
+        counts=(n, n),
+        model_id=0,
+        particle_radius=h / 4.0,
+        density0=1000.0,
+    )
+    grid = GridParams.for_domain((2.5, 2.5), (36.5, 24.0), h, pad=3)
+    return sc.SceneBundle(
+        name="fluids2",
+        grid=grid,
+        models=models,
+        colliders=colliders,
+        particles=particles,
+        params=SolverParameters(dt=1.0 / 60.0, force_fluids_volume_recomputation=True),
+        gravity=(0.0, -9.81),
+    )
+
+
+@sc.register_scene("basic2")
+def basic2():
+    """Snow + sand + breakable star on a heightfield. Ref: examples2d/basic2.rs."""
+    # Parameters follow basic2.rs (E=1e5-ish per block); see file for details.
+    e, nu = 1.0e5, 0.2
+    h = 0.1
+    nx = 20
+    heights = -np.sin(np.linspace(0.0, np.pi, nx + 1)).astype(np.float32)
+    colliders = (
+        heightfield(heights, scale=(40.0, 2.0), translation=(20.0, 4.0)),
+    )
+    snow = reg.ParticleModel(
+        reg.corotated_linear_elasticity(e, nu), reg.snow_plasticity()
+    )
+    sand = reg.ParticleModel(
+        reg.corotated_linear_elasticity(e, nu),
+        reg.drucker_prager_plasticity(e, nu),
+    )
+    star_model = reg.ParticleModel(
+        reg.corotated_linear_elasticity(2.0e4, 0.35),
+        reg.rankine_plasticity(2.0e4, 0.35, 1.0e2, 5.0),
+    )
+    models = reg.ModelSet.pack([snow, sand, star_model])
+
+    r = h / 4.0
+    blocks = [
+        cube_particles((12.0, 7.0), (40, 40), 0, r, 400.0),
+        cube_particles((20.0, 7.0), (40, 40), 1, r, 1500.0),
+        _sample_polygon(
+            _star_points(1.0),
+            (28.0, 8.0),
+            2,
+            r,
+            2.0,
+            crack_propagation_factor=0.9,
+            crack_threshold=1.0,
+        ),
+    ]
+    particles = Particles.concatenate(tuple(blocks))
+    grid = GridParams.for_domain((4.0, 1.0), (36.0, 12.0), h, pad=3)
+    return sc.SceneBundle(
+        name="basic2",
+        grid=grid,
+        models=models,
+        colliders=colliders,
+        particles=particles,
+        params=SolverParameters(dt=1.0 / 60.0),
+        gravity=(0.0, -9.81),
+    )

@@ -1,0 +1,44 @@
+"""Eigenerosion damage evolution.
+
+Ref: sparkl `src/dynamics/solver/eigenerosion.rs` — neighborhood energy
+averaging: particles within one cell_width of each other (via the 3^d cell
+neighborhood) pool `m·ψ_pos`; a particle fails (phase = 0) when
+`factor · h · pooled_avg > threshold`.
+
+Implemented on top of the cell-sorted neighbor machinery in
+sparkl_tpu.sparse.neighbors (counting sort by cell, fixed per-cell capacity).
+"""
+
+import jax.numpy as jnp
+
+from sparkl_tpu.core.grid import GridParams
+
+
+def evolve_eigenerosion(grid: GridParams, p, max_per_cell: int = 16):
+    from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
+
+    eligible = (
+        (p.crack_propagation_factor != 0.0) & (p.phase > 0.0) & ~p.failed & p.active
+    )
+    # Pool m·psi and m over neighbors within cell_width (incl. self; the G2P
+    # stage already initialized parameter1/2 with the self contribution).
+    vals = jnp.stack([p.mass * p.psi_pos, p.mass], axis=-1)
+    pooled = neighbor_pair_sums(
+        grid,
+        p.position,
+        vals,
+        include_mask=eligible,
+        radius=grid.cell_width,
+        max_per_cell=max_per_cell,
+    )
+    parameter1 = p.parameter1 + jnp.where(eligible, pooled[:, 0], 0.0)
+    parameter2 = p.parameter2 + jnp.where(eligible, pooled[:, 1], 0.0)
+
+    has_crack = p.crack_propagation_factor != 0.0
+    safe2 = jnp.where(parameter2 > 0.0, parameter2, 1.0)
+    energy = parameter1 * p.crack_propagation_factor * grid.cell_width / safe2
+    trip = has_crack & (energy > p.crack_threshold)
+    return p.replace(
+        parameter1=jnp.where(has_crack, energy, parameter1),
+        phase=jnp.where(trip, 0.0, p.phase),
+    )

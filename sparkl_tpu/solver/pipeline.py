@@ -1,0 +1,137 @@
+"""The MPM pipeline: CFL-adaptive substepping around the dense solver stages.
+
+Ref: sparkl `src/pipelines/mpm_pipeline.rs` (facade) +
+`src/dynamics/solver/mls_solver.rs:15-139` (substep loop:
+sort → fluid volume recompute → adaptive dt → damage → P2G → grid update →
+hook → G2P, until the frame time is consumed).
+
+TPU design: the whole frame — including the data-dependent substep loop — is
+ONE jitted function using `lax.while_loop` with a traced dt. Buffer donation
+reuses particle memory across frames. No host synchronization per substep
+(the reference syncs twice per substep to read dt and block counts; here dt
+stays on device).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparkl_tpu.core.grid import GridParams, GridState
+from sparkl_tpu.core.params import DamageModel, SolverParameters
+from sparkl_tpu.models.registry import ModelSet
+from sparkl_tpu.solver import dense
+from sparkl_tpu.solver.eigenerosion import evolve_eigenerosion
+from sparkl_tpu.solver.phase_field import update_phase_field
+
+
+class MpmHooks:
+    """User hook points (ref: src/dynamics/solver/mpm_hooks.rs MpmHooks).
+
+    `post_grid_update(grid_state, grid_params, dt) -> grid_state` runs inside
+    the jitted substep — use it for Dirichlet grid BCs (ref: l_panel2.rs
+    post_grid_update_hook usage).
+    """
+
+    def post_grid_update(self, state: GridState, grid: GridParams, dt) -> GridState:
+        return state
+
+
+class MpmPipeline:
+    """Owns the jitted step function for a fixed scene configuration."""
+
+    def __init__(
+        self,
+        grid: GridParams,
+        models: ModelSet,
+        colliders=(),
+        params: SolverParameters = SolverParameters(),
+        gravity=None,
+        hooks: Optional[MpmHooks] = None,
+    ):
+        self.grid = grid
+        self.models = models
+        self.colliders = tuple(colliders)
+        self.params = params
+        d = grid.dim
+        if gravity is None:
+            gravity = [0.0, -9.81] if d == 2 else [0.0, -9.81, 0.0]
+        self.gravity = jnp.asarray(gravity, jnp.float32)
+        self.hooks = hooks or MpmHooks()
+        self._node_positions = grid.node_positions()
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # -- one substep (traced) ------------------------------------------------
+
+    def _substep(self, p, dt):
+        grid, models, params = self.grid, self.models, self.params
+        state = dense.p2g(grid, p, models, dt, self.gravity)
+        state = dense.grid_update(
+            grid,
+            state,
+            self.colliders,
+            dt,
+            params.boundary_handling,
+            params.simulation_dofs,
+            node_positions=self._node_positions,
+        )
+        state = self.hooks.post_grid_update(state, grid, dt)
+        p = dense.g2p_update(
+            grid,
+            state,
+            p,
+            models,
+            dt,
+            colliders=self.colliders,
+            damage_model=params.damage_model,
+            enable_boundary_particle_projection=params.enable_boundary_particle_projection,
+        )
+        return p
+
+    def _step_impl(self, p):
+        grid, models, params = self.grid, self.models, self.params
+        min_dt = params.dt / params.max_num_substeps
+
+        def cond(carry):
+            p, remaining, niter = carry
+            return (remaining > 0.0) & (niter < params.max_num_substeps)
+
+        def body(carry):
+            p, remaining, niter = carry
+            p = dense.mark_out_of_grid_failed(grid, p)
+
+            if params.force_fluids_volume_recomputation:
+                p = dense.recompute_fluids_volumes(grid, p, models)
+
+            max_dt = jnp.minimum(remaining, params.max_substep_dt)
+            dt = dense.adaptive_timestep(grid, p, models, max_dt)
+            dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
+
+            if params.damage_model == DamageModel.EIGENEROSION:
+                p = evolve_eigenerosion(grid, p)
+            elif params.damage_model == DamageModel.CD_MPM:
+                p = update_phase_field(grid, p, models, dt)
+
+            p = self._substep(p, dt)
+            remaining = jnp.where(
+                params.stop_after_one_substep, 0.0, remaining - dt
+            )
+            return (p, remaining, niter + 1)
+
+        carry = (p, jnp.asarray(params.dt, jnp.float32), jnp.asarray(0, jnp.int32))
+        p, _, niter = jax.lax.while_loop(cond, body, carry)
+        return p, niter
+
+    # -- public API -----------------------------------------------------------
+
+    def step(self, particles):
+        """Advance one frame of params.dt (adaptive substeps inside).
+
+        Ref: MpmPipeline::step / MlsSolver::step."""
+        p, niter = self._step(particles)
+        return p
+
+    def step_with_stats(self, particles):
+        return self._step(particles)

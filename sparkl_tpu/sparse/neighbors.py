@@ -1,0 +1,98 @@
+"""Cell-bucketed particle neighborhood machinery (fixed capacity, jit-static).
+
+TPU-first replacement for the reference's sorted particle ranges per cell
+(ref: sparkl `src/dynamics/particle_set.rs` sort → per-cell (start, end)
+ranges consumed by eigenerosion.rs). Instead of variable-length ranges we
+build a [num_cells, max_per_cell] bucket table with a counting-sort rank;
+overflowing particles are dropped from *neighbor enumeration* (never from the
+simulation itself) — with MPM's ~2-per-axis seeding, max_per_cell=16 is far
+above the packing the reference ever sees.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sparkl_tpu.core.grid import GridParams, stencil_offsets
+
+
+def cell_index(grid: GridParams, position):
+    """Cell (= floor) index per particle and in-bounds mask."""
+    origin = jnp.asarray(grid.origin, position.dtype)
+    ix = jnp.floor((position - origin) / grid.cell_width).astype(jnp.int32)
+    res = jnp.asarray(grid.res, jnp.int32)
+    ok = jnp.all((ix >= 0) & (ix < res), axis=-1)
+    return ix, ok
+
+
+def _flat_cell(grid: GridParams, ix):
+    res = grid.res
+    ix = jnp.clip(ix, 0, jnp.asarray(res, jnp.int32) - 1)
+    flat = ix[..., 0]
+    for ax in range(1, len(res)):
+        flat = flat * res[ax] + ix[..., ax]
+    return flat
+
+
+def build_buckets(grid: GridParams, position, valid, max_per_cell: int):
+    """Returns bucket table [num_cells * max_per_cell] of particle ids (-1 empty)."""
+    n = position.shape[0]
+    ix, ok = cell_index(grid, position)
+    ok = ok & valid
+    flat = jnp.where(ok, _flat_cell(grid, ix), grid.num_nodes)  # invalid -> sentinel
+
+    order = jnp.argsort(flat)
+    sorted_cells = flat[order]
+    # rank within cell = position in sorted order minus first occurrence.
+    first = jnp.searchsorted(sorted_cells, sorted_cells, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+
+    k = max_per_cell
+    slot = jnp.where(
+        (sorted_cells < grid.num_nodes) & (rank < k),
+        sorted_cells * k + rank,
+        grid.num_nodes * k,
+    )
+    buckets = jnp.full((grid.num_nodes * k + 1,), -1, jnp.int32)
+    buckets = buckets.at[slot].set(order.astype(jnp.int32))
+    return buckets[:-1], ix, ok
+
+
+def neighbor_pair_sums(
+    grid: GridParams,
+    position,
+    values,
+    include_mask,
+    radius,
+    max_per_cell: int = 16,
+):
+    """For each particle i: sum over j != i of values[j] where
+    |x_i - x_j| <= radius, both include_mask, j within the 3^d cell
+    neighborhood. Returns [N, V].
+    """
+    n, d = position.shape
+    k = max_per_cell
+    buckets, ix, ok = build_buckets(grid, position, include_mask, k)
+
+    offsets = jnp.asarray(stencil_offsets(d) - 1, jnp.int32)  # {-1,0,1}^d
+    n_off = offsets.shape[0]
+
+    nbr_cells = ix[:, None, :] + offsets[None, :, :]  # [N, O, d]
+    res = jnp.asarray(grid.res, jnp.int32)
+    nbr_ok = jnp.all((nbr_cells >= 0) & (nbr_cells < res), axis=-1)  # [N, O]
+    nbr_flat = _flat_cell(grid, nbr_cells)  # [N, O]
+
+    slot_base = nbr_flat * k  # [N, O]
+    slots = slot_base[..., None] + jnp.arange(k, dtype=jnp.int32)  # [N, O, K]
+    cand = buckets[slots.reshape(n, -1)]  # [N, O*K]
+    cand_valid = (cand >= 0) & nbr_ok[..., None].repeat(k, axis=-1).reshape(n, -1)
+
+    self_id = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cand_valid = cand_valid & (cand != self_id)
+
+    cand_safe = jnp.maximum(cand, 0)
+    cand_pos = position[cand_safe]  # [N, O*K, d]
+    dist2 = jnp.sum((cand_pos - position[:, None, :]) ** 2, axis=-1)
+    cand_valid = cand_valid & (dist2 <= radius * radius) & include_mask[:, None] & ok[:, None]
+
+    cand_vals = values[cand_safe]  # [N, O*K, V]
+    return jnp.sum(cand_vals * cand_valid[..., None], axis=1)
