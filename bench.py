@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
+# Persistent compile cache: repeat bench runs skip the 30-60s XLA compile.
+os.makedirs("/tmp/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
 BASELINE_PUPS = 1.0e9
 
 
@@ -27,7 +31,7 @@ def main():
     frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "3"))
 
     import sparkl_tpu.scenes as scenes
-    from sparkl_tpu.solver.pipeline import MpmPipeline
+    from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
 
     if scale == "full":
         b = scenes.build("sand3")  # 500k particles, ref examples3d/sand3.rs
@@ -35,7 +39,9 @@ def main():
         n = int(scale)
         b = scenes.build("sand3", nx=n, ny=n // 2, nz=n // 2)
 
-    pipe = MpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+    pipe = SparseMpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks
+    )
     p = b.particles
     n_active = int(np.asarray(p.num_active))
 

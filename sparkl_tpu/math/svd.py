@@ -21,6 +21,7 @@ Algorithms:
         fallbacks for (near-)singular F.
 """
 
+import jax
 import jax.numpy as jnp
 
 _JACOBI_SWEEPS = 7  # 7 sweeps x 3 rotations: off-diagonal < 1e-7 * ||A|| in f32
@@ -82,86 +83,198 @@ def svd2x2(f):
     return u, s, v
 
 
-def _jacobi_rotate(a, v, p, q):
-    """One batched Jacobi rotation zeroing a[p,q]; updates (a, v) in plane (p,q)."""
-    apq = a[..., p, q]
-    app = a[..., p, p]
-    aqq = a[..., q, q]
-    theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
-
-    # Build the rotation as a full (3,3) batched matrix at static indices.
-    j = jnp.zeros(a.shape, a.dtype)
-    for k in range(a.shape[-1]):
-        j = j.at[..., k, k].set(1.0)
-    j = j.at[..., p, p].set(c).at[..., q, q].set(c)
-    j = j.at[..., p, q].set(-s).at[..., q, p].set(s)
-
-    a = jnp.einsum("...ji,...jk,...kl->...il", j, a, j)
-    v = jnp.einsum("...ij,...jk->...ik", v, j)
-    return a, v
-
-
 def svd3x3(f):
     """SVD of [..., 3, 3] matrices. Returns (u, s, v) with f = u @ diag(s) @ v^T.
 
     s >= 0, sorted descending; det(u)*det(v) = sign(det f). Robust to
     rank-deficient and inverted (det < 0) inputs.
+
+    Fully component-wise (scalar arrays throughout): no [.., 3, 3] einsums or
+    .at[] index updates, which XLA:TPU lowers to catastrophically slow
+    scatters/layout shuffles in a batched setting (measured ~200x slower than
+    this formulation at 50k particles).
     """
     dtype = f.dtype
-    a = jnp.einsum("...ji,...jk->...ik", f, f)  # F^T F, symmetric PSD
-    scale = jnp.maximum(jnp.max(jnp.abs(a), axis=(-2, -1), keepdims=True), 1e-30)
-    a = a / scale
-    v = jnp.broadcast_to(jnp.eye(3, dtype=dtype), f.shape).astype(dtype)
-    v = v + jnp.zeros_like(f)
+    f00, f01, f02 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
+    f10, f11, f12 = f[..., 1, 0], f[..., 1, 1], f[..., 1, 2]
+    f20, f21, f22 = f[..., 2, 0], f[..., 2, 1], f[..., 2, 2]
 
-    for _ in range(_JACOBI_SWEEPS):
-        a, v = _jacobi_rotate(a, v, 0, 1)
-        a, v = _jacobi_rotate(a, v, 0, 2)
-        a, v = _jacobi_rotate(a, v, 1, 2)
+    # A = F^T F (symmetric): 6 unique components.
+    a00 = f00 * f00 + f10 * f10 + f20 * f20
+    a11 = f01 * f01 + f11 * f11 + f21 * f21
+    a22 = f02 * f02 + f12 * f12 + f22 * f22
+    a01 = f00 * f01 + f10 * f11 + f20 * f21
+    a02 = f00 * f02 + f10 * f12 + f20 * f22
+    a12 = f01 * f02 + f11 * f12 + f21 * f22
 
-    sig2 = jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1)
-    sig2 = jnp.maximum(sig2, 0.0) * scale[..., 0]
-    # Sort descending; permute V columns accordingly.
-    order = jnp.argsort(-sig2, axis=-1)
-    sig2 = jnp.take_along_axis(sig2, order, axis=-1)
-    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
-    s = jnp.sqrt(sig2)
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)), jnp.abs(a22)), 1e-30
+    )
+    inv_scale = 1.0 / scale
+    a00, a11, a22 = a00 * inv_scale, a11 * inv_scale, a22 * inv_scale
+    a01, a02, a12 = a01 * inv_scale, a02 * inv_scale, a12 * inv_scale
 
-    # U columns: u_i = F v_i / s_i with orthonormal fallbacks.
-    fv = jnp.einsum("...ij,...jk->...ik", f, v)  # columns F v_i
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+
+    def rotate(a, v, p, q):
+        r = 3 - p - q  # the untouched index
+        app, aqq, apq = a[p][p], a[q][q], a[p][q]
+        theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
+        c = jnp.cos(theta)
+        s = jnp.sin(theta)
+        cc, ss, cs = c * c, s * s, c * s
+        new_pp = cc * app + 2.0 * cs * apq + ss * aqq
+        new_qq = ss * app - 2.0 * cs * apq + cc * aqq
+        arp, arq = a[r][p], a[r][q]
+        new_rp = c * arp + s * arq
+        new_rq = -s * arp + c * arq
+        a[p][p], a[q][q] = new_pp, new_qq
+        a[p][q] = jnp.zeros_like(apq)
+        a[q][p] = a[p][q]
+        a[r][p] = new_rp
+        a[p][r] = new_rp
+        a[r][q] = new_rq
+        a[q][r] = new_rq
+        for i in range(3):
+            vip, viq = v[i][p], v[i][q]
+            v[i][p] = c * vip + s * viq
+            v[i][q] = -s * vip + c * viq
+        return a, v
+
+    # fori_loop over sweeps keeps the traced graph ~_JACOBI_SWEEPS times
+    # smaller — a fully unrolled component graph sends XLA:CPU's fusion
+    # passes into multi-minute compiles (TPU compiles either form fine).
+    def sweep(_, carry):
+        (a00, a01, a02, a11, a12, a22, v00, v01, v02, v10, v11, v12, v20, v21, v22) = carry
+        a = [[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]]
+        v = [[v00, v01, v02], [v10, v11, v12], [v20, v21, v22]]
+        a, v = rotate(a, v, 0, 1)
+        a, v = rotate(a, v, 0, 2)
+        a, v = rotate(a, v, 1, 2)
+        return (
+            a[0][0], a[0][1], a[0][2], a[1][1], a[1][2], a[2][2],
+            v[0][0], v[0][1], v[0][2],
+            v[1][0], v[1][1], v[1][2],
+            v[2][0], v[2][1], v[2][2],
+        )
+
+    carry = (
+        a00, a01, a02, a11, a12, a22,
+        one, zero, zero, zero, one, zero, zero, zero, one,
+    )
+    carry = jax.lax.fori_loop(0, _JACOBI_SWEEPS, sweep, carry)
+    (a00, a01, a02, a11, a12, a22, v00, v01, v02, v10, v11, v12, v20, v21, v22) = carry
+    a = [[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]]
+    v = [[v00, v01, v02], [v10, v11, v12], [v20, v21, v22]]
+
+    sig2 = [jnp.maximum(a[0][0], 0.0) * scale,
+            jnp.maximum(a[1][1], 0.0) * scale,
+            jnp.maximum(a[2][2], 0.0) * scale]
+
+    # Sort the 3 eigenpairs descending with a 3-element sorting network
+    # (component-wise swaps — no gathers).
+    cols = [[v[0][k], v[1][k], v[2][k]] for k in range(3)]
+
+    def cswap(k0, k1):
+        swap = sig2[k0] < sig2[k1]
+        s0 = jnp.where(swap, sig2[k1], sig2[k0])
+        s1 = jnp.where(swap, sig2[k0], sig2[k1])
+        sig2[k0], sig2[k1] = s0, s1
+        for i in range(3):
+            c0 = jnp.where(swap, cols[k1][i], cols[k0][i])
+            c1 = jnp.where(swap, cols[k0][i], cols[k1][i])
+            cols[k0][i], cols[k1][i] = c0, c1
+
+    cswap(0, 1)
+    cswap(0, 2)
+    cswap(1, 2)
+
+    s0 = jnp.sqrt(sig2[0])
+    s1 = jnp.sqrt(sig2[1])
+    s2 = jnp.sqrt(sig2[2])
+
+    # fv_k = F @ v_k, componentwise.
+    def matvec(x0, x1, x2):
+        return (
+            f00 * x0 + f01 * x1 + f02 * x2,
+            f10 * x0 + f11 * x1 + f12 * x2,
+            f20 * x0 + f21 * x1 + f22 * x2,
+        )
+
+    fv0 = matvec(*cols[0])
+    fv1 = matvec(*cols[1])
+    fv2 = matvec(*cols[2])
     eps = 1e-12
 
-    def _normalize(x):
-        n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    def norm3(x):
+        return jnp.sqrt(x[0] * x[0] + x[1] * x[1] + x[2] * x[2])
+
+    def scale3(x, k):
+        return (x[0] * k, x[1] * k, x[2] * k)
+
+    def normalize3(x):
+        n = norm3(x)
         good = n > eps
-        return jnp.where(good, x / jnp.where(good, n, 1.0), x), n[..., 0]
+        inv = jnp.where(good, 1.0 / jnp.where(good, n, 1.0), 0.0)
+        return scale3(x, inv), n, good
 
-    u0_raw = fv[..., :, 0]
-    u0, n0 = _normalize(u0_raw)
+    u0, n0, good0 = normalize3(fv0)
     # Fallback for F ~ 0: e0.
-    e0 = jnp.zeros_like(u0).at[..., 0].set(1.0)
-    u0 = jnp.where((n0 > eps)[..., None], u0, e0)
+    u0 = (
+        jnp.where(good0, u0[0], 1.0),
+        jnp.where(good0, u0[1], 0.0),
+        jnp.where(good0, u0[2], 0.0),
+    )
 
-    u1_raw = fv[..., :, 1]
-    u1_raw = u1_raw - jnp.sum(u1_raw * u0, axis=-1, keepdims=True) * u0
-    u1, n1 = _normalize(u1_raw)
-    # Fallback: unit vector orthogonal to u0 via cross with the least-aligned axis.
-    least = jnp.argmin(jnp.abs(u0), axis=-1)
-    basis = jnp.eye(3, dtype=dtype)
-    e_pick = basis[least]
-    u1_fb, _ = _normalize(jnp.cross(u0, e_pick))
-    u1 = jnp.where((n1 > eps)[..., None], u1, u1_fb)
+    dot01 = u0[0] * fv1[0] + u0[1] * fv1[1] + u0[2] * fv1[2]
+    u1r = (fv1[0] - dot01 * u0[0], fv1[1] - dot01 * u0[1], fv1[2] - dot01 * u0[2])
+    u1, n1, good1 = normalize3(u1r)
 
-    u2_dir = jnp.cross(u0, u1)
-    # Sign: match F v2 (negative when det F < 0 => reflection lives in U).
-    sgn = jnp.sum(fv[..., :, 2] * u2_dir, axis=-1)
+    def cross3(x, y):
+        return (
+            x[1] * y[2] - x[2] * y[1],
+            x[2] * y[0] - x[0] * y[2],
+            x[0] * y[1] - x[1] * y[0],
+        )
+
+    # Fallback: unit vector orthogonal to u0 via cross with the least-aligned
+    # basis axis (branch-free: pick e_k with minimal |u0_k|).
+    au = (jnp.abs(u0[0]), jnp.abs(u0[1]), jnp.abs(u0[2]))
+    pick0 = (au[0] <= au[1]) & (au[0] <= au[2])
+    pick1 = (~pick0) & (au[1] <= au[2])
+    e = (
+        jnp.where(pick0, 1.0, 0.0),
+        jnp.where(pick1, 1.0, 0.0),
+        jnp.where(pick0 | pick1, 0.0, 1.0),
+    )
+    fb = cross3(u0, e)
+    fb, _, _ = normalize3(fb)
+    u1 = (
+        jnp.where(good1, u1[0], fb[0]),
+        jnp.where(good1, u1[1], fb[1]),
+        jnp.where(good1, u1[2], fb[2]),
+    )
+
+    u2d = cross3(u0, u1)
+    sgn = u2d[0] * fv2[0] + u2d[1] * fv2[1] + u2d[2] * fv2[2]
     sgn = jnp.where(sgn < 0.0, -1.0, 1.0)
-    u2 = u2_dir * sgn[..., None]
+    u2 = scale3(u2d, sgn)
 
-    u = jnp.stack([u0, u1, u2], axis=-1)
-    return u, s, v
+    def stack_mat(c0, c1, c2):
+        return jnp.stack(
+            [
+                jnp.stack([c0[0], c1[0], c2[0]], axis=-1),
+                jnp.stack([c0[1], c1[1], c2[1]], axis=-1),
+                jnp.stack([c0[2], c1[2], c2[2]], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    u = stack_mat(u0, u1, u2)
+    vout = stack_mat(cols[0], cols[1], cols[2])
+    s = jnp.stack([s0, s1, s2], axis=-1)
+    return u, s, vout
 
 
 def svd(f):

@@ -311,6 +311,36 @@ def g2p_update(
     velocity, velocity_gradient, velocity_gradient_det, psi_pos_momentum = g2p_gather(
         grid, state, p
     )
+    return particle_update_after_gather(
+        grid,
+        p,
+        models,
+        dt,
+        velocity,
+        velocity_gradient,
+        velocity_gradient_det,
+        psi_pos_momentum,
+        colliders=colliders,
+        damage_model=damage_model,
+        enable_boundary_particle_projection=enable_boundary_particle_projection,
+    )
+
+
+def particle_update_after_gather(
+    grid: GridParams,
+    p,
+    models: registry.ModelSet,
+    dt,
+    velocity,
+    velocity_gradient,
+    velocity_gradient_det,
+    psi_pos_momentum,
+    colliders=(),
+    damage_model: DamageModel = DamageModel.NONE,
+    enable_boundary_particle_projection: bool = False,
+):
+    """Particle state update given gathered grid quantities (shared by the
+    dense reference path and the block-sparse MXU path)."""
     is_fluid = models.is_fluid(p.model_id)
     d = p.dim
 

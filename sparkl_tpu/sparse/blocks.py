@@ -1,0 +1,317 @@
+"""Block-sparse grid structure: sort-based active-block table + dispatch chunks.
+
+TPU-native replacement for the reference's GPU hashmap / atomic sort pipeline
+(ref: sparkl `src_kernels/cuda/sort.rs` touch_particle_blocks →
+prefix sums → finalize_particles_sort → init_gpu_dispatch_blocks_mapping,
+orchestrated by `src/cuda/cuda_sparse_grid.rs launch_sort`). Everything here
+is a fixed-capacity, static-shape jnp computation:
+
+  * active blocks   — kv-sort particle block keys + run-flag compaction
+                      (replaces the lock-free hashmap; re-derived per sort)
+  * particle order  — the same kv-sort (replaces counting sort)
+  * dispatch chunks — <=CHUNK particles of one block per chunk (replaces
+                      GPU dispatch blocks of <=G2P2G_THREADS particles)
+  * neighbor table  — dense index of each block's 2^d upper corner neighbors
+                      (replaces per-kernel hashmap lookups)
+
+Design notes (measured on TPU v5e): sorts are ~1.5ms/500k, wide-row
+scatter/gather ~1ms/32k rows; per-element scatters are 50-900ms — hence
+everything is expressed as sorts, cumsums and row-granular ops. Overflowing
+MAX_BLOCKS/MAX_CHUNKS is detected (`num_blocks` output) and handled host-side
+by rebuilding with larger capacity, mirroring the reference's hashmap regrow
+loop (cuda_sparse_grid.rs:161-253).
+
+Block geometry: blocks are 4^d cells. A particle belongs to the block
+containing its associated ("base") cell `round(x/h)-1`; its quadratic stencil
+covers base..base+2 which stays inside the 2^d-block corner region
+(cells 0..5 of the 8^d window) — the same invariant the reference guarantees
+via `blocks_associated_to_point` (gpu_grid.rs:281-321).
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparkl_tpu.core.grid import GridParams
+
+BLOCK_SIDE = 4  # cells per block per axis (ref: NUM_CELL_PER_BLOCK = 4^d)
+
+
+def cells_per_block(dim):
+    return BLOCK_SIDE**dim
+
+
+def region_side():
+    return 2 * BLOCK_SIDE  # the 2^d-corner window is 8 cells per axis
+
+
+def region_cells(dim):
+    return region_side() ** dim
+
+
+def default_chunk_size(dim):
+    # Max particles at nominal 2-per-cell-axis seeding: 4^d cells * 2^d.
+    return 128 if dim == 3 else 64
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    """Static capacities (recompile on change).
+
+    max_blocks — blocks that OWN particles; max_grid_blocks — owner blocks
+    plus their 2^d corner neighbors, which need node storage even when empty
+    (ref: gpu_grid.rs blocks_associated_to_point activates the 2^d corners).
+    """
+
+    max_blocks: int
+    max_chunks: int
+    chunk_size: int
+    max_grid_blocks: int = 0
+
+    def __post_init__(self):
+        if self.max_grid_blocks == 0:
+            object.__setattr__(self, "max_grid_blocks", self.max_blocks * 2 + 64)
+
+    @staticmethod
+    def for_particles(n, dim, occupancy=8.0, slack=2.0):
+        """Heuristic initial capacities: n/occupancy particles per block."""
+        c = default_chunk_size(dim)
+        blocks = int(n / (cells_per_block(dim) * occupancy / 4) * slack) + 64
+        chunks = int(n / c * slack) + blocks
+        return BlockConfig(max_blocks=blocks, max_chunks=chunks, chunk_size=c)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockStructure:
+    """Per-substep sparse structure (all fixed shapes).
+
+    Sorted-particle space: `sorted_ids[i]` is the original particle index of
+    the i-th particle in block-key order (invalid/inactive particles sort to
+    the end with key = SENTINEL).
+    """
+
+    sorted_ids: jax.Array  # [N] i32, particle order
+    sorted_block: jax.Array  # [N] i32, dense block id per sorted particle (or -1)
+    block_keys: jax.Array  # [MAX_BLOCKS] i32 linear block key (SENTINEL pad)
+    block_start: jax.Array  # [MAX_BLOCKS] i32 first sorted-particle index
+    block_count: jax.Array  # [MAX_BLOCKS] i32 particles in block
+    grid_keys: jax.Array  # [MAX_GRID_BLOCKS] i32 storage-block keys (owners + corners)
+    nbr_index: jax.Array  # [MAX_BLOCKS, 2^d] i32 grid-table idx of corner blocks (MAX_GRID_BLOCKS = trash)
+    block_first_chunk: jax.Array  # [MAX_BLOCKS] i32 first chunk id of block
+    chunk_block: jax.Array  # [MAX_CHUNKS] i32 dense block id (or MAX_BLOCKS pad)
+    chunk_start: jax.Array  # [MAX_CHUNKS] i32 start in sorted-particle space
+    chunk_count: jax.Array  # [MAX_CHUNKS] i32 particles in chunk (<= CHUNK)
+    num_blocks: jax.Array  # [] i32 (overflow check: must be <= MAX_BLOCKS)
+    num_grid_blocks: jax.Array  # [] i32 (overflow check vs MAX_GRID_BLOCKS)
+    num_chunks: jax.Array  # [] i32
+
+    def replace_sorted_identity(self):
+        """After the particle pytree is permuted by sorted_ids, particle
+        storage IS sorted space; sorted_ids becomes the identity."""
+        from dataclasses import replace
+
+        return replace(
+            self,
+            sorted_ids=jnp.arange(self.sorted_ids.shape[0], dtype=jnp.int32),
+        )
+
+
+def _block_space(grid: GridParams):
+    """Number of blocks per axis covering the grid's node index space."""
+    return tuple(-(-r // BLOCK_SIDE) for r in grid.res)
+
+
+def particle_block_key(grid: GridParams, position, valid):
+    """Linear block key per particle; SENTINEL for invalid/out-of-grid."""
+    origin = jnp.asarray(grid.origin, position.dtype)
+    xg = (position - origin) / grid.cell_width
+    base = jnp.round(xg).astype(jnp.int32) - 1
+    res = jnp.asarray(grid.res, jnp.int32)
+    ok = jnp.all((base >= 0) & (base + 2 <= res - 1), axis=-1) & valid
+    bc = base // BLOCK_SIDE
+    bspace = _block_space(grid)
+    key = bc[..., 0]
+    for ax in range(1, len(bspace)):
+        key = key * bspace[ax] + bc[..., ax]
+    sentinel = jnp.int32(np.prod(bspace))
+    return jnp.where(ok, key, sentinel), ok
+
+
+def _compact_flagged(values, flags, capacity, fill):
+    """First-`capacity` values where flags, in order (sort-based compaction)."""
+    n = values.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sort_key = jnp.where(flags, pos, n + pos)  # flagged first, stable order
+    order = jnp.argsort(sort_key)
+    take = min(capacity, n)
+    compacted = values[order[:take]]
+    if take < capacity:
+        compacted = jnp.concatenate(
+            [compacted, jnp.full((capacity - take,), fill, values.dtype)]
+        )
+    k = jnp.sum(flags.astype(jnp.int32))
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    return jnp.where(idx < k, compacted, fill), k
+
+
+def build_structure(
+    grid: GridParams, cfg: BlockConfig, position, valid
+) -> BlockStructure:
+    n, dim = position.shape
+    c = cfg.chunk_size
+    bspace = _block_space(grid)
+    sentinel = jnp.int32(np.prod(bspace))
+
+    key, ok = particle_block_key(grid, position, valid)
+    pid = jnp.arange(n, dtype=jnp.int32)
+    sorted_key, sorted_ids = jax.lax.sort_key_val(key, pid)
+
+    # Run starts in the sorted key sequence.
+    prev = jnp.concatenate([jnp.full((1,), -1, sorted_key.dtype), sorted_key[:-1]])
+    is_valid = sorted_key < sentinel
+    flag = (sorted_key != prev) & is_valid
+    dense_id = jnp.cumsum(flag.astype(jnp.int32)) - 1  # [N]
+    sorted_block = jnp.where(is_valid, dense_id, -1)
+
+    block_keys, num_blocks = _compact_flagged(
+        sorted_key, flag, cfg.max_blocks, sentinel
+    )
+    pos = jnp.arange(n, dtype=jnp.int32)
+    block_start, _ = _compact_flagged(pos, flag, cfg.max_blocks, n)
+    num_valid = jnp.sum(is_valid.astype(jnp.int32))
+    next_start = jnp.concatenate(
+        [block_start[1:], jnp.full((1,), n, jnp.int32)]
+    )
+    next_start = jnp.minimum(next_start, num_valid)
+    block_count = jnp.maximum(next_start - jnp.minimum(block_start, num_valid), 0)
+
+    # Grid-storage block table: every owner block plus its 2^d upper-corner
+    # neighbors (which need node storage even when they own no particles —
+    # ref: gpu_grid.rs blocks_associated_to_point). Pure int32 keys.
+    corners = np.stack(
+        np.meshgrid(*([[0, 1]] * dim), indexing="ij"), axis=-1
+    ).reshape(-1, dim)  # [2^d, d]
+    strides = np.ones(dim, np.int32)
+    for ax in range(dim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * bspace[ax + 1]
+    # Decode block coords from keys to detect edge-of-space wrap.
+    coords = []
+    rem = block_keys
+    for ax in range(dim):
+        coords.append(rem // int(strides[ax]))
+        rem = rem % int(strides[ax])
+    coords = jnp.stack(coords, axis=-1)  # [MAX_BLOCKS, d]
+    nbr_coords = coords[:, None, :] + jnp.asarray(corners, jnp.int32)[None, :, :]
+    in_space = (
+        jnp.all(nbr_coords < jnp.asarray(bspace, jnp.int32), axis=-1)
+        & jnp.all(nbr_coords >= 0, axis=-1)
+        & (block_keys < sentinel)[:, None]
+    )
+    nbr_keys = (nbr_coords * jnp.asarray(strides, jnp.int32)[None, None, :]).sum(-1)
+    nbr_keys = jnp.where(in_space, nbr_keys, sentinel).reshape(-1)  # [MB * 2^d]
+
+    cand_sorted = jnp.sort(nbr_keys)
+    cand_prev = jnp.concatenate(
+        [jnp.full((1,), -1, cand_sorted.dtype), cand_sorted[:-1]]
+    )
+    cand_flag = (cand_sorted != cand_prev) & (cand_sorted < sentinel)
+    grid_keys, num_grid_blocks = _compact_flagged(
+        cand_sorted, cand_flag, cfg.max_grid_blocks, sentinel
+    )
+
+    found = jnp.searchsorted(grid_keys, nbr_keys, side="left").astype(jnp.int32)
+    found = jnp.clip(found, 0, cfg.max_grid_blocks - 1)
+    hit = (grid_keys[found] == nbr_keys) & (nbr_keys < sentinel)
+    nbr_index = jnp.where(hit, found, cfg.max_grid_blocks).reshape(
+        cfg.max_blocks, 2**dim
+    )
+
+    # Dispatch chunks: block b owns ceil(count/c) chunks.
+    nchunks_per_block = -(-block_count // c)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks_per_block)[:-1]]
+    )
+    num_chunks = jnp.sum(nchunks_per_block)
+    cid = jnp.arange(cfg.max_chunks, dtype=jnp.int32)
+    # Block of chunk j: searchsorted over chunk_base (MAX_CHUNKS into MAX_BLOCKS).
+    blk_of_chunk = (
+        jnp.searchsorted(chunk_base, cid, side="right").astype(jnp.int32) - 1
+    )
+    blk_of_chunk = jnp.clip(blk_of_chunk, 0, cfg.max_blocks - 1)
+    local_chunk = cid - chunk_base[blk_of_chunk]
+    active_chunk = cid < num_chunks
+    chunk_start = block_start[blk_of_chunk] + local_chunk * c
+    chunk_count = jnp.clip(block_count[blk_of_chunk] - local_chunk * c, 0, c)
+    chunk_block = jnp.where(active_chunk, blk_of_chunk, cfg.max_blocks)
+    chunk_start = jnp.where(active_chunk, chunk_start, 0)
+    chunk_count = jnp.where(active_chunk, chunk_count, 0)
+
+    return BlockStructure(
+        sorted_ids=sorted_ids,
+        sorted_block=sorted_block,
+        block_keys=block_keys,
+        block_start=block_start,
+        block_count=block_count,
+        grid_keys=grid_keys,
+        nbr_index=nbr_index,
+        block_first_chunk=chunk_base,
+        chunk_block=chunk_block,
+        chunk_start=chunk_start,
+        chunk_count=chunk_count,
+        num_blocks=num_blocks,
+        num_grid_blocks=num_grid_blocks,
+        num_chunks=num_chunks,
+    )
+
+
+def block_node_positions(grid: GridParams, block_keys):
+    """World positions of every node of every block: [MAX_BLOCKS, 4^d, d]."""
+    dim = grid.dim
+    bspace = _block_space(grid)
+    strides = np.ones(dim, np.int64)
+    for ax in range(dim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * bspace[ax + 1]
+    rem = block_keys.astype(jnp.int64)
+    coords = []
+    for ax in range(dim):
+        coords.append(rem // int(strides[ax]))
+        rem = rem % int(strides[ax])
+    bc = jnp.stack(coords, axis=-1).astype(jnp.float32)  # [MB, d] block coords
+
+    side = BLOCK_SIDE
+    rng = np.arange(side)
+    local = np.stack(np.meshgrid(*([rng] * dim), indexing="ij"), axis=-1).reshape(
+        -1, dim
+    )  # [4^d, d]
+    origin = jnp.asarray(grid.origin, jnp.float32)
+    return (
+        origin
+        + (bc[:, None, :] * side + jnp.asarray(local, jnp.float32)[None, :, :])
+        * grid.cell_width
+    )
+
+
+def region_maps(dim):
+    """Static maps between the 8^d region index and (corner, cell-in-block).
+
+    region cell r (coords in [0,8)^d) lives in corner block
+    c = sum_ax (r_ax >= 4) * 2^(d-1-ax) at block-local cell
+    l = sum_ax (r_ax % 4) * 4^(d-1-ax).
+    Returns (corner_of_region [8^d], cell_of_region [8^d]).
+    """
+    side = region_side()
+    rng = np.arange(side)
+    mesh = np.stack(np.meshgrid(*([rng] * dim), indexing="ij"), axis=-1).reshape(
+        -1, dim
+    )
+    corner = np.zeros(len(mesh), np.int32)
+    cell = np.zeros(len(mesh), np.int32)
+    for ax in range(dim):
+        corner = corner * 2 + (mesh[:, ax] >= BLOCK_SIDE)
+        cell = cell * BLOCK_SIDE + (mesh[:, ax] % BLOCK_SIDE)
+    return corner, cell
