@@ -137,7 +137,7 @@ class ParticleDpPipeline(MpmPipeline):
                 params.simulation_dofs,
                 node_positions=self._node_positions,
             )
-            state = self.hooks.post_grid_update(state, grid, dt)
+            state = self.hooks.post_grid_update(state, grid, dt, self._node_positions)
             p = dense.g2p_update(
                 grid,
                 state,

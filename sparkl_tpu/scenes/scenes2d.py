@@ -160,6 +160,85 @@ def fluids2(n=300):
     )
 
 
+@sc.register_scene("l_panel2")
+def l_panel2():
+    """Quasi-brittle L-panel fracture: two L-shaped concrete panels, one with
+    Eigenerosion global crack propagation, one with MaximumStress local
+    failure; Stick boundary, zero gravity, velocity-driven loading via a grid
+    Dirichlet hook. Ref: examples2d/l_panel2.rs (E=25.85e9, nu=0.18,
+    cell_width=0.005, dt=1/6000, crack factor 4.5 / threshold 89,
+    MaxStress(2.7e6))."""
+    from sparkl_tpu.solver.pipeline import DirichletVelocityHook
+
+    e, nu = 25.85e9, 0.18
+    h = 0.005
+    ground_height = h * 10.0
+    ground_shift = h * 40.0
+
+    colliders = (
+        cuboid((1000.0, ground_height), translation=(0.0, ground_shift - ground_height)),
+    )
+
+    panel_poly = np.array(
+        [
+            [0.0, 0.0],
+            [0.25, 0.0],
+            [0.25, 0.25],
+            [0.5, 0.25],
+            [0.5, 0.5],
+            [0.0, 0.5],
+        ],
+        np.float32,
+    )
+
+    m1 = reg.ParticleModel(reg.corotated_linear_elasticity(e, nu))
+    m2 = reg.ParticleModel(
+        reg.corotated_linear_elasticity(e, nu),
+        failure=reg.maximum_stress_failure(2.7e6, np.finfo(np.float32).max),
+    )
+    models = reg.ModelSet.pack([m1, m2])
+
+    origins = [
+        (ground_shift, ground_shift),
+        (ground_shift * 8.0, ground_shift),
+    ]
+    panel1 = _sample_polygon(
+        panel_poly,
+        origins[0],
+        0,
+        h / 4.0,
+        2500.0,
+        crack_propagation_factor=4.5,
+        crack_threshold=89.0,
+        m_c=0.0,
+        g=10.0,
+    )
+    panel2 = _sample_polygon(panel_poly, origins[1], 1, h / 4.0, 2500.0)
+    particles = Particles.concatenate((panel1, panel2))
+
+    load = np.array([0.47, 0.25], np.float32)
+    hooks = DirichletVelocityHook(
+        points=[np.asarray(o, np.float32) + load for o in origins],
+        velocities=[[0.0, 0.1], [0.0, 0.1]],
+    )
+
+    grid = GridParams.for_domain((0.05, 0.05), (2.2, 0.95), h, pad=3)
+    return sc.SceneBundle(
+        name="l_panel2",
+        grid=grid,
+        models=models,
+        colliders=colliders,
+        particles=particles,
+        params=SolverParameters(
+            dt=1.0 / 6000.0,
+            boundary_handling=BoundaryHandling.STICK,
+            damage_model=DamageModel.EIGENEROSION,
+        ),
+        gravity=(0.0, 0.0),
+        hooks=hooks,
+    )
+
+
 @sc.register_scene("basic2")
 def basic2():
     """Snow + sand + breakable star on a heightfield. Ref: examples2d/basic2.rs."""

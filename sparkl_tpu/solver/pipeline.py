@@ -30,13 +30,42 @@ from sparkl_tpu.solver.phase_field import update_phase_field
 class MpmHooks:
     """User hook points (ref: src/dynamics/solver/mpm_hooks.rs MpmHooks).
 
-    `post_grid_update(grid_state, grid_params, dt) -> grid_state` runs inside
+    `post_grid_update(state, grid, dt, node_positions) -> state` runs inside
     the jitted substep — use it for Dirichlet grid BCs (ref: l_panel2.rs
-    post_grid_update_hook usage).
+    post_grid_update_hook usage). `node_positions` has the same leading shape
+    as the state's node fields (dense: [*res, d]; block-sparse:
+    [blocks, 4^d, d]), so hooks written against positions work on both
+    layouts.
     """
 
-    def post_grid_update(self, state: GridState, grid: GridParams, dt) -> GridState:
+    def post_grid_update(
+        self, state: GridState, grid: GridParams, dt, node_positions=None
+    ) -> GridState:
         return state
+
+
+class DirichletVelocityHook(MpmHooks):
+    """Prescribe grid velocity at the cells containing given world points.
+
+    Ref: l_panel2.rs BoundaryConditions::post_grid_update_hook — the loading
+    is applied by pinning the velocity of one grid node.
+    """
+
+    def __init__(self, points, velocities):
+        import numpy as np
+
+        self.points = np.asarray(points, np.float32)  # [K, d]
+        self.velocities = np.asarray(velocities, np.float32)  # [K, d]
+
+    def post_grid_update(self, state, grid, dt, node_positions=None):
+        vel = state.velocity
+        half = 0.5 * grid.cell_width
+        for pt, v in zip(self.points, self.velocities):
+            near = jnp.all(
+                jnp.abs(node_positions - jnp.asarray(pt)) < half, axis=-1
+            )
+            vel = jnp.where(near[..., None], jnp.asarray(v), vel)
+        return state.replace(velocity=vel)
 
 
 class MpmPipeline:
@@ -77,7 +106,7 @@ class MpmPipeline:
             params.simulation_dofs,
             node_positions=self._node_positions,
         )
-        state = self.hooks.post_grid_update(state, grid, dt)
+        state = self.hooks.post_grid_update(state, grid, dt, self._node_positions)
         p = dense.g2p_update(
             grid,
             state,

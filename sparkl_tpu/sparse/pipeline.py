@@ -170,7 +170,7 @@ class SparseMpmPipeline:
             params.simulation_dofs,
             node_positions=node_pos,
         )
-        gstate = self.hooks.post_grid_update(gstate, grid, dt)
+        gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
 
         # G2P windows: channels [vel(d), psi_ratio].

@@ -1,0 +1,158 @@
+"""Per-stage pipeline timing — the reference's timing-struct API on TPU.
+
+Ref: sparkl `src/cuda/cuda_mpm_pipeline.rs:30-136` (CudaTimestepTimings /
+CudaSubstepTimings / EventTimer measured with CUDA events, surfaced in the
+testbed's "Pipeline Timings" panel, testbed_plugin.rs:778-855).
+
+On TPU the production step is ONE fused jit program, so stage timings are a
+profiling mode: each stage is jitted separately and wall-timed with a forced
+host sync (block_until_ready is insufficient through remote tunnels — we
+force a tiny host read). Numbers therefore carry ~one RTT of constant bias
+each; use them for relative stage weights, and `jax.profiler.trace` for
+exact device timelines.
+"""
+
+import time
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
+
+@dataclass
+class SubstepTimings:
+    """One substep's stage breakdown, in milliseconds.
+
+    Field names mirror CudaSubstepTimings (sort/grid-resize, reset+transfer,
+    timestep estimation, the fused transfer kernels, grid update)."""
+
+    grid_resize_and_sort: float = 0.0
+    estimate_timestep: float = 0.0
+    stress_update: float = 0.0
+    p2g: float = 0.0
+    grid_update: float = 0.0
+    g2p: float = 0.0
+    particle_update: float = 0.0
+    total: float = 0.0
+
+    def as_dict(self):
+        return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    def pretty(self):
+        rows = []
+        for f in fields(self):
+            if f.name == "total":
+                continue
+            v = getattr(self, f.name)
+            pct = 100.0 * v / self.total if self.total else 0.0
+            rows.append(f"  {f.name:<22s} {v:8.2f} ms  {pct:5.1f}%")
+        rows.append(f"  {'total':<22s} {self.total:8.2f} ms")
+        return "\n".join(rows)
+
+
+def profile_sparse_substep(pipe, particles, dt=1e-3, iters=5) -> SubstepTimings:
+    """Stage-by-stage timing of one SparseMpmPipeline substep."""
+    from sparkl_tpu.sparse import blocks as B, transfer as T
+    from sparkl_tpu.solver import dense
+    from sparkl_tpu.models import registry
+    from sparkl_tpu.math.kernel import inv_d as kernel_inv_d
+    from sparkl_tpu.math import linalg
+    from sparkl_tpu.core.grid import GridState
+
+    pipe._ensure_cfg(particles)
+    grid, models, cfg, params = pipe.grid, pipe.models, pipe._cfg, pipe.params
+    dim = grid.dim
+    cpb = B.cells_per_block(dim)
+    nf = 1 + dim + 2
+    p = particles
+
+    def timeit(f, *a):
+        r = f(*a)
+        _sync(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*a)
+        _sync(r)
+        return (time.perf_counter() - t0) / iters * 1000.0, r
+
+    t = SubstepTimings()
+
+    f_s = jax.jit(lambda pos, act: B.build_structure(grid, cfg, pos, act))
+    t.grid_resize_and_sort, s = timeit(f_s, p.position, p.active)
+
+    f_dt = jax.jit(lambda p: dense.adaptive_timestep(grid, p, models, params.dt))
+    t.estimate_timestep, _ = timeit(f_dt, p)
+
+    f_stress = jax.jit(
+        lambda p: registry.kirchhoff_stress(
+            models, p.model_id, p.phase, p.elastic_hardening,
+            p.deformation_gradient, p.velocity_gradient, p.mass, p.volume0,
+        )
+    )
+    t.stress_update, stress = timeit(f_stress, p)
+
+    invd = kernel_inv_d(grid.cell_width)
+    affine = (
+        p.mass[:, None, None] * p.velocity_gradient
+        - (p.volume0 * invd * dt)[:, None, None] * stress
+    )
+    zero = jnp.zeros_like(p.mass)
+
+    def f_p2g(pos, m, v, a):
+        images = T.p2g_images(grid, cfg, s, pos, m, v, a, zero, zero,
+                              group_size=pipe.group_size)
+        return T.merge_images_to_grid(grid, cfg, s, images)
+
+    t.p2g, node = timeit(jax.jit(f_p2g), p.position, p.mass, p.velocity, affine)
+
+    nodef = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
+    mass = nodef[:, 0, :]
+    mom = jnp.moveaxis(nodef[:, 1 : 1 + dim, :], 1, -1)
+    vel = (mom + mass[..., None] * pipe.gravity * dt) * linalg.inv_exact(mass)[..., None]
+    npos = jnp.concatenate(
+        [B.block_node_positions(grid, s.grid_keys),
+         jnp.full((1, cpb, dim), 1e10, jnp.float32)], 0,
+    )
+    gs = GridState(mass=mass, momentum=mom, velocity=vel,
+                   psi_momentum=nodef[:, 1 + dim, :], psi_mass=nodef[:, 2 + dim, :])
+    f_gu = jax.jit(
+        lambda gs: dense.grid_update(
+            grid, gs, pipe.colliders, dt, params.boundary_handling,
+            params.simulation_dofs, npos,
+        )
+    )
+    t.grid_update, gs2 = timeit(f_gu, gs)
+
+    winf = jnp.concatenate(
+        [jnp.moveaxis(gs2.velocity, -1, 1),
+         (nodef[:, 1 + dim, :] * linalg.inv_exact(nodef[:, 2 + dim, :]))[:, None, :]],
+        1,
+    ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
+
+    def f_g2p(pos, w):
+        windows = T.gather_grid_windows(grid, cfg, s, w)
+        return T.g2p_from_windows(grid, cfg, s, pos, windows,
+                                  group_size=pipe.group_size)[:4]
+
+    t.g2p, outs = timeit(jax.jit(f_g2p), p.position, winf)
+
+    inv_perm = jnp.argsort(s.sorted_ids)
+    got = T.scatter_slots_to_particles(cfg, s, inv_perm, *outs)
+    f_up = jax.jit(
+        lambda p, v, g, de, ps: dense.particle_update_after_gather(
+            grid, p, models, dt, v, g, de, ps, colliders=pipe.colliders,
+            damage_model=params.damage_model,
+        )
+    )
+    t.particle_update, _ = timeit(f_up, p, *got)
+
+    t.total = sum(
+        getattr(t, f.name) for f in fields(t) if f.name != "total"
+    )
+    return t

@@ -1,0 +1,103 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import sparkl_tpu as sk
+from sparkl_tpu.core.grid import GridParams, GridState
+from sparkl_tpu.models import registry
+from sparkl_tpu.solver.eigenerosion import evolve_eigenerosion
+from sparkl_tpu.solver.pipeline import DirichletVelocityHook, MpmPipeline
+from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
+
+
+def test_neighbor_pair_sums_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(32, 32))
+    n = 200
+    pos = rng.uniform(0.5, 2.5, size=(n, 2)).astype(np.float32)
+    vals = rng.uniform(0.1, 1.0, size=(n, 2)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.3
+
+    got = np.asarray(
+        neighbor_pair_sums(
+            grid,
+            jnp.asarray(pos),
+            jnp.asarray(vals),
+            jnp.asarray(mask),
+            radius=grid.cell_width,
+            max_per_cell=32,
+        )
+    )
+    want = np.zeros((n, 2), np.float32)
+    for i in range(n):
+        if not mask[i]:
+            continue
+        for j in range(n):
+            if i == j or not mask[j]:
+                continue
+            if np.linalg.norm(pos[i] - pos[j]) <= grid.cell_width:
+                want[i] += vals[j]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_eigenerosion_trips_phase():
+    """Particles pooling enough tensile energy must fail (phase -> 0).
+
+    Ref semantics: eigenerosion.rs — parameter1 = factor*h*(sum m psi)/(sum m)
+    compared to crack_threshold."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(32, 32))
+    p = sk.cube_particles((1.0, 1.0), (4, 4), 0, 0.025, 1000.0)
+    # Self terms as the G2P stage would have set them.
+    psi = jnp.full((p.capacity,), 10.0)
+    p = p.replace(
+        psi_pos=psi,
+        parameter1=psi * p.mass,
+        parameter2=p.mass,
+        crack_propagation_factor=jnp.full((p.capacity,), 2.0),
+        crack_threshold=jnp.full((p.capacity,), 1.0),
+    )
+    p2 = evolve_eigenerosion(grid, p)
+    # energy = factor*h*avg(psi) = 2.0*0.1*10 = 2 > 1 -> all fail.
+    assert np.all(np.asarray(p2.phase)[np.asarray(p2.active)] == 0.0)
+
+    # High threshold -> nothing fails.
+    p3 = p.replace(crack_threshold=jnp.full((p.capacity,), 100.0))
+    p3 = evolve_eigenerosion(grid, p3)
+    assert np.all(np.asarray(p3.phase)[np.asarray(p3.active)] == 1.0)
+
+
+def test_dirichlet_velocity_hook():
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(16, 16))
+    hook = DirichletVelocityHook(points=[[0.5, 0.5]], velocities=[[0.0, 0.25]])
+    state = GridState.zeros(grid)
+    out = hook.post_grid_update(state, grid, 1e-3, grid.node_positions())
+    v = np.asarray(out.velocity)
+    assert np.allclose(v[5, 5], [0.0, 0.25])
+    assert np.count_nonzero(v[..., 1]) == 1
+
+
+def test_l_panel2_scene_builds_and_substeps():
+    import sparkl_tpu.scenes as scenes
+
+    b = scenes.build("l_panel2")
+    assert int(np.asarray(b.particles.num_active)) > 10000
+    # One substep only (full frames run ~100 substeps of this stiff concrete).
+    params = b.params.__class__(
+        dt=b.params.dt,
+        boundary_handling=b.params.boundary_handling,
+        damage_model=b.params.damage_model,
+        stop_after_one_substep=True,
+    )
+    pipe = MpmPipeline(b.grid, b.models, b.colliders, params, b.gravity, b.hooks)
+    p, niter = pipe.step_with_stats(b.particles)
+    assert int(niter) == 1
+    act = np.asarray(p.active)
+    assert np.isfinite(np.asarray(p.position)[act]).all()
+    # The loading hook is near the panel-2 notch; particles near the pinned
+    # node must have picked up upward velocity.
+    pos = np.asarray(p.position)[act]
+    vel = np.asarray(p.velocity)[act]
+    load_pt = np.array([0.2 + 0.47, 0.2 + 0.25])
+    near = np.linalg.norm(pos - load_pt, axis=1) < 0.02
+    assert near.any()
+    assert vel[near][:, 1].max() > 1e-4
