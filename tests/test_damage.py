@@ -101,3 +101,58 @@ def test_l_panel2_scene_builds_and_substeps():
     near = np.linalg.norm(pos - load_pt, axis=1) < 0.02
     assert near.any()
     assert vel[near][:, 1].max() > 1e-4
+
+
+def test_phase_field_bounds_and_direction():
+    """CD-MPM: phase stays ~1 at zero stored energy; drops when psi_pos >> g;
+    always within [0, 1] and monotone non-increasing (phase_field.rs:314)."""
+    from sparkl_tpu.solver.phase_field import update_phase_field
+
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(32, 32))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.35))]
+    )
+    p = sk.cube_particles((1.0, 1.0), (8, 8), 0, 0.025, 1000.0)
+    p = p.replace(
+        m_c=jnp.full((p.capacity,), 0.01),
+        g=jnp.full((p.capacity,), 20000.0),
+    )
+
+    # Zero stored energy -> phase stays (close to) 1.
+    p0 = update_phase_field(grid, p, models, 1e-4)
+    ph0 = np.asarray(p0.phase)[np.asarray(p0.active)]
+    assert np.all(ph0 >= 0.0) and np.all(ph0 <= 1.0)
+    assert ph0.min() > 0.9
+
+    # Huge tensile energy vs tiny fracture toughness -> phase decreases; the
+    # evolution is rate-limited by the 1/dt term, so the drop scales with dt.
+    p1 = p.replace(psi_pos=jnp.full((p.capacity,), 1.0e6), g=jnp.full((p.capacity,), 1.0))
+    small = update_phase_field(grid, p1, models, 1e-4)
+    big = update_phase_field(grid, p1, models, 1e-1)
+    ph_small = np.asarray(small.phase)[np.asarray(small.active)]
+    ph_big = np.asarray(big.phase)[np.asarray(big.active)]
+    for ph in (ph_small, ph_big):
+        assert np.all(ph >= 0.0) and np.all(ph <= 1.0 + 1e-6)
+    assert ph_small.mean() < 1.0 - 1e-5  # strictly decreasing
+    assert ph_big.mean() < 0.5  # strong collapse at large dt
+    assert ph_big.mean() < ph_small.mean()
+
+
+def test_phase_field_in_pipeline():
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.35))]
+    )
+    p = sk.cube_particles((1.0, 1.6), (8, 8), 0, 0.0125, 1000.0)
+    p = p.replace(
+        m_c=jnp.full((p.capacity,), 0.01), g=jnp.full((p.capacity,), 20000.0)
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25))]
+    params = sk.SolverParameters(dt=1 / 60, damage_model=sk.DamageModel.CD_MPM)
+    pipe = MpmPipeline(grid, models, colliders, params, [0.0, -9.81])
+    for _ in range(3):
+        p = pipe.step(p)
+    act = np.asarray(p.active)
+    assert np.isfinite(np.asarray(p.position)[act]).all()
+    ph = np.asarray(p.phase)[act]
+    assert np.all(ph >= 0.0) and np.all(ph <= 1.0)
