@@ -16,6 +16,7 @@ Reference semantics:
 import jax.numpy as jnp
 
 from sparkl_tpu.math import linalg
+from sparkl_tpu.math import matops
 from sparkl_tpu.math.svd import svd
 
 # Constitutive type codes (stable ABI for the model tables / checkpoints).
@@ -25,9 +26,7 @@ EOS_MONAGHAN_SPH = 2
 CUSTOM_BASE = 16
 
 
-def _recompose(u, s, v):
-    """u @ diag(s) @ v^T for batched matrices."""
-    return jnp.einsum("...ik,...k,...jk->...ij", u, s, v)
+_recompose = matops.recompose
 
 
 # ---------------------------------------------------------------------------
@@ -48,12 +47,11 @@ def corotated_kirchhoff_stress(lam, mu, split_on_failure, phase, hardening, f):
     u, s, v = svd(f)
     sm1 = s - 1.0
 
-    ft = linalg.transpose(f)
     pos = jnp.maximum(sm1, 0.0)
     neg = jnp.minimum(sm1, 0.0)
     coeff = (2.0 * mu * hardening)[..., None, None]
-    pos_dev = coeff * jnp.einsum("...ik,...kj->...ij", _recompose(u, pos, v), ft)
-    neg_dev = coeff * jnp.einsum("...ik,...kj->...ij", _recompose(u, neg, v), ft)
+    pos_dev = coeff * matops.matmul_nt(_recompose(u, pos, v), f)
+    neg_dev = coeff * matops.matmul_nt(_recompose(u, neg, v), f)
     spherical = (lam * hardening * (j - 1.0) * j)[..., None, None] * jnp.eye(
         d, dtype=f.dtype
     )
@@ -121,7 +119,7 @@ def neo_hookean_kirchhoff_stress(lam, mu, phase, hardening, f):
     phase_coeff = neo_hookean_phase_coeff(phase)
     j = linalg.det(f)
     k = 2.0 / 3.0 * mu * hardening + lam * hardening
-    cg = jnp.einsum("...ik,...jk->...ij", f, f)  # F Fᵀ
+    cg = matops.aat(f)  # F Fᵀ
     # J should be > 0 for valid states; guard against NaN from negative J.
     jpow = jnp.where(j > 0.0, jnp.power(jnp.maximum(j, 1e-30), -2.0 / d), 1.0)
     dev = (mu * hardening * jpow)[..., None, None] * linalg.deviatoric_part(cg)

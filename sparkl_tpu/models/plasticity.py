@@ -14,6 +14,7 @@ Reference semantics:
 
 import jax.numpy as jnp
 
+from sparkl_tpu.math import matops
 from sparkl_tpu.math.svd import svd
 
 PLASTIC_NONE = 0
@@ -24,8 +25,7 @@ SNOW = 4
 PLASTIC_CUSTOM_BASE = 16
 
 
-def _recompose(u, s, v):
-    return jnp.einsum("...ik,...k,...jk->...ij", u, s, v)
+_recompose = matops.recompose
 
 
 def _safe_div(a, b, eps=1e-20):

@@ -84,6 +84,50 @@ class BlockConfig:
         chunks = int(n / c * slack) + blocks
         return BlockConfig(max_blocks=blocks, max_chunks=chunks, chunk_size=c)
 
+    @staticmethod
+    def calibrate(grid, position, active, slack=1.5):
+        """Size capacities from the ACTUAL particle distribution (host-side
+        numpy, once at pipeline setup). The heuristic above can oversize the
+        chunk table ~4x for densely-packed scenes, and every chunk-
+        proportional stage pays for the padding; this mirrors the reference's
+        measure-then-allocate sort loop (cuda_sparse_grid.rs:161-253) without
+        the per-substep host sync."""
+        import numpy as np
+
+        pos = np.asarray(position)
+        act = np.asarray(active)
+        dim = pos.shape[1]
+        c = default_chunk_size(dim)
+        origin = np.asarray(grid.origin, np.float64)
+        base = np.round((pos - origin) / grid.cell_width).astype(np.int64) - 1
+        res = np.asarray(grid.res)
+        ok = act & np.all((base >= 0) & (base + 2 <= res - 1), axis=-1)
+        bc = base[ok] // BLOCK_SIDE
+        bspace = _block_space(grid)
+        key = bc[:, 0]
+        for ax in range(1, dim):
+            key = key * bspace[ax] + bc[:, ax]
+        uniq, counts = np.unique(key, return_counts=True)
+        n_blocks = len(uniq)
+        n_chunks = int(np.sum(-(-counts // c)))
+        # Grid blocks: owners + corner neighbors.
+        coords = np.stack(np.unravel_index(uniq, bspace), axis=-1)
+        corners = np.stack(
+            np.meshgrid(*([[0, 1]] * dim), indexing="ij"), axis=-1
+        ).reshape(-1, dim)
+        cand = (coords[:, None, :] + corners[None, :, :]).reshape(-1, dim)
+        in_space = np.all(cand < np.asarray(bspace), axis=-1)
+        cand_keys = cand[:, 0].astype(np.int64)
+        for ax in range(1, dim):
+            cand_keys = cand_keys * bspace[ax] + cand[:, ax]
+        n_grid = len(np.unique(cand_keys[in_space]))
+        return BlockConfig(
+            max_blocks=int(n_blocks * slack) + 16,
+            max_chunks=int(n_chunks * slack) + 16,
+            chunk_size=c,
+            max_grid_blocks=int(n_grid * slack) + 16,
+        )
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)

@@ -67,8 +67,9 @@ class SparseMpmPipeline:
 
     def _ensure_cfg(self, p):
         if self._cfg is None:
-            n = self._capacity_hint or p.capacity
-            self._cfg = B.BlockConfig.for_particles(n, self.grid.dim)
+            # Measure the actual distribution once (host-side) instead of
+            # guessing: padded chunks cost real einsum time every substep.
+            self._cfg = B.BlockConfig.calibrate(self.grid, p.position, p.active)
         if self._jit is None:
             self._jit = jax.jit(
                 self._step_impl, donate_argnums=(0,) if self._donate else ()
@@ -80,6 +81,7 @@ class SparseMpmPipeline:
             max_blocks=int(c.max_blocks * factor) + 64,
             max_chunks=int(c.max_chunks * factor) + 64,
             chunk_size=c.chunk_size,
+            max_grid_blocks=int(c.max_grid_blocks * factor) + 64,
         )
         self._jit = jax.jit(
             self._step_impl, donate_argnums=(0,) if self._donate else ()
