@@ -47,6 +47,7 @@ class SparseMpmPipeline:
         capacity_hint: Optional[int] = None,
         group_size: int = 256,
         donate: bool = False,
+        use_pallas=None,  # None = auto (TPU backend); "interpret" for tests
     ):
         self.grid = grid
         self.models = models
@@ -62,6 +63,9 @@ class SparseMpmPipeline:
         self._capacity_hint = capacity_hint
         self._jit = None
         self._donate = donate
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
 
     # -- capacity management (host-side regrow & retry) ----------------------
 
@@ -128,18 +132,33 @@ class SparseMpmPipeline:
         psi_mom_p = psi_mass_p * p.psi_pos
 
         # P2G.
-        images = T.p2g_images(
-            grid,
-            cfg,
-            structure,
-            p.position,
-            p.mass,
-            p.velocity,
-            affine,
-            psi_mass_p,
-            psi_mom_p,
-            group_size=self.group_size,
-        )
+        if self.use_pallas:
+            from sparkl_tpu.ops import transfer_kernels as K
+
+            # One wide-row gather into f-major chunk-slot layout, then the
+            # double-buffered window kernel (weights live only in VMEM).
+            packed = K.pack_p2g_inputs(
+                p.position, p.mass, p.velocity, affine, psi_mass_p, psi_mom_p
+            )
+            slot_data = K.gather_slot_data(cfg, structure, packed)
+            images = K.p2g_windows_pallas(
+                grid, cfg, slot_data,
+                interpret=(self.use_pallas == "interpret"),
+            )
+        else:
+            slot_data = None
+            images = T.p2g_images(
+                grid,
+                cfg,
+                structure,
+                p.position,
+                p.mass,
+                p.velocity,
+                affine,
+                psi_mass_p,
+                psi_mom_p,
+                group_size=self.group_size,
+            )
         node = T.merge_images_to_grid(grid, cfg, structure, images)
         node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
 
@@ -182,9 +201,25 @@ class SparseMpmPipeline:
         ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
         windows = T.gather_grid_windows(grid, cfg, structure, win_fields)
 
-        vel_s, grad_s, det_s, psi_s, _valid = T.g2p_from_windows(
-            grid, cfg, structure, p.position, windows, group_size=self.group_size
-        )
+        if self.use_pallas:
+            from sparkl_tpu.ops import transfer_kernels as K
+
+            out = K.g2p_windows_pallas(
+                grid, cfg, slot_data, windows,
+                interpret=(self.use_pallas == "interpret"),
+            )  # [D, d + d*d + 1, C]
+            vel_s = jnp.moveaxis(out[:, :dim, :], 1, -1)  # [D, C, d]
+            grad_cols = out[:, dim : dim + dim * dim, :].reshape(
+                cfg.max_chunks, dim, dim, cfg.chunk_size
+            )  # [D, j, i, C]
+            det_s = sum(grad_cols[:, j, j, :] for j in range(dim))  # [D, C]
+            grad_s = jnp.moveaxis(grad_cols, (1, 2), (2, 1))  # [D, i, j, C]
+            grad_s = jnp.moveaxis(grad_s, -1, 1)  # [D, C, i, j]
+            psi_s = out[:, dim + dim * dim, :]
+        else:
+            vel_s, grad_s, det_s, psi_s, _valid = T.g2p_from_windows(
+                grid, cfg, structure, p.position, windows, group_size=self.group_size
+            )
         velocity_p, grad_p, det_p, psi_p = T.scatter_slots_to_particles(
             cfg, structure, inv_perm, vel_s, grad_s, det_s, psi_s
         )

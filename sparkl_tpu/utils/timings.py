@@ -104,10 +104,21 @@ def profile_sparse_substep(pipe, particles, dt=1e-3, iters=5) -> SubstepTimings:
     )
     zero = jnp.zeros_like(p.mass)
 
-    def f_p2g(pos, m, v, a):
-        images = T.p2g_images(grid, cfg, s, pos, m, v, a, zero, zero,
-                              group_size=pipe.group_size)
-        return T.merge_images_to_grid(grid, cfg, s, images)
+    if pipe.use_pallas:
+        from sparkl_tpu.ops import transfer_kernels as K
+
+        def f_p2g(pos, m, v, a):
+            packed = K.pack_p2g_inputs(pos, m, v, a, zero, zero)
+            slot_data = K.gather_slot_data(cfg, s, packed)
+            images = K.p2g_windows_pallas(
+                grid, cfg, slot_data, interpret=(pipe.use_pallas == "interpret")
+            )
+            return T.merge_images_to_grid(grid, cfg, s, images)
+    else:
+        def f_p2g(pos, m, v, a):
+            images = T.p2g_images(grid, cfg, s, pos, m, v, a, zero, zero,
+                                  group_size=pipe.group_size)
+            return T.merge_images_to_grid(grid, cfg, s, images)
 
     t.p2g, node = timeit(jax.jit(f_p2g), p.position, p.mass, p.velocity, affine)
 
@@ -135,10 +146,34 @@ def profile_sparse_substep(pipe, particles, dt=1e-3, iters=5) -> SubstepTimings:
         1,
     ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
 
-    def f_g2p(pos, w):
-        windows = T.gather_grid_windows(grid, cfg, s, w)
-        return T.g2p_from_windows(grid, cfg, s, pos, windows,
-                                  group_size=pipe.group_size)[:4]
+    if pipe.use_pallas:
+        from sparkl_tpu.ops import transfer_kernels as K
+        dim = grid.dim
+
+        def f_g2p(pos, w):
+            windows = T.gather_grid_windows(grid, cfg, s, w)
+            packed = K.pack_p2g_inputs(
+                pos, jnp.zeros_like(pos[:, 0]), jnp.zeros_like(pos),
+                jnp.zeros(pos.shape + (dim,)), zero, zero,
+            )
+            slot_data = K.gather_slot_data(cfg, s, packed)
+            out = K.g2p_windows_pallas(
+                grid, cfg, slot_data, windows,
+                interpret=(pipe.use_pallas == "interpret"),
+            )
+            vel_s = jnp.moveaxis(out[:, :dim, :], 1, -1)
+            grad_cols = out[:, dim : dim + dim * dim, :].reshape(
+                cfg.max_chunks, dim, dim, cfg.chunk_size
+            )
+            det_s = sum(grad_cols[:, j, j, :] for j in range(dim))
+            grad_s = jnp.moveaxis(jnp.moveaxis(grad_cols, (1, 2), (2, 1)), -1, 1)
+            psi_s = out[:, dim + dim * dim, :]
+            return vel_s, grad_s, det_s, psi_s
+    else:
+        def f_g2p(pos, w):
+            windows = T.gather_grid_windows(grid, cfg, s, w)
+            return T.g2p_from_windows(grid, cfg, s, pos, windows,
+                                      group_size=pipe.group_size)[:4]
 
     t.g2p, outs = timeit(jax.jit(f_g2p), p.position, winf)
 

@@ -184,3 +184,43 @@ def test_sparse_capacity_regrow():
     ps = spipe.step(p)
     assert np.isfinite(np.asarray(ps.position)[np.asarray(ps.active)]).all()
     assert spipe._cfg.max_blocks > 4
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_kernels_match_xla_path(dim):
+    """The fused Pallas window kernels (interpret mode on CPU) must agree
+    with the XLA einsum path bit-for-bit (same dot shapes/order)."""
+    if dim == 2:
+        grid, models, p = _scene2d(10)
+        colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+        gravity = [0.0, -9.81]
+    else:
+        grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(40, 40, 40))
+        models = registry.ModelSet.pack(
+            [
+                registry.ParticleModel(
+                    registry.corotated_linear_elasticity(1.0e5, 0.2),
+                    registry.drucker_prager_plasticity(1.0e5, 0.2),
+                )
+            ]
+        )
+        p = sk.cube_particles(
+            origin=(1.2, 2.0, 1.2), counts=(6, 6, 6), model_id=0,
+            particle_radius=0.025, density0=2700.0,
+        )
+        colliders = [sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)]
+        gravity = [0.0, -9.81, 0.0]
+
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    xla = SparseMpmPipeline(grid, models, colliders, params, gravity, use_pallas=False)
+    pal = SparseMpmPipeline(grid, models, colliders, params, gravity, use_pallas="interpret")
+    p_x = xla.step(jax.tree_util.tree_map(jnp.array, p))
+    p_p = pal.step(p)
+
+    px = np.asarray(p_x.position)[np.asarray(p_x.active)]
+    pq = np.asarray(p_p.position)[np.asarray(p_p.active)]
+    ox, oq = np.lexsort(px.T), np.lexsort(pq.T)
+    np.testing.assert_allclose(px[ox], pq[oq], atol=1e-6)
+    vx = np.asarray(p_x.velocity)[np.asarray(p_x.active)][ox]
+    vq = np.asarray(p_p.velocity)[np.asarray(p_p.active)][oq]
+    np.testing.assert_allclose(vx, vq, atol=1e-5)
