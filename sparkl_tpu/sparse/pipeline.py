@@ -66,6 +66,13 @@ class SparseMpmPipeline:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # Injection points for the domain-decomposed subclass
+        # (sparkl_tpu.parallel.domain): cross-device halo merge, dt reduction,
+        # and per-substep particle migration.
+        self._halo_fn = None       # (node_table, structure) -> node_table
+        self._dt_reduce = None     # dt -> dt  (e.g. lax.pmin)
+        self._migrate_fn = None    # particles -> (particles, overflow_bool)
+        self._pvary = None         # mark a scalar as device-varying (shard_map)
 
     # -- capacity management (host-side regrow & retry) ----------------------
 
@@ -160,6 +167,11 @@ class SparseMpmPipeline:
                 group_size=self.group_size,
             )
         node = T.merge_images_to_grid(grid, cfg, structure, images)
+        halo_overflow = jnp.asarray(False)
+        if self._halo_fn is not None:
+            # Cross-device additive merge of boundary-column block rows
+            # (ref: sort.rs merge_halo_blocks).
+            node, halo_overflow = self._halo_fn(node, structure)
         node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
 
         mass = node[:, 0, :]
@@ -241,6 +253,7 @@ class SparseMpmPipeline:
             (structure.num_blocks > cfg.max_blocks)
             | (structure.num_grid_blocks > cfg.max_grid_blocks)
             | (structure.num_chunks > cfg.max_chunks)
+            | halo_overflow
         )
         return p, overflow
 
@@ -258,8 +271,14 @@ class SparseMpmPipeline:
             if params.force_fluids_volume_recomputation:
                 p = dense.recompute_fluids_volumes(grid, p, models)
 
+            if self._migrate_fn is not None:
+                p, mig_overflow = self._migrate_fn(p)
+                overflow = overflow | mig_overflow
+
             max_dt = jnp.minimum(remaining, params.max_substep_dt)
             dt = dense.adaptive_timestep(grid, p, models, max_dt)
+            if self._dt_reduce is not None:
+                dt = self._dt_reduce(dt)
             dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
             if params.damage_model == DamageModel.EIGENEROSION:
@@ -271,11 +290,16 @@ class SparseMpmPipeline:
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
             return (p, remaining, niter + 1, overflow | ov)
 
+        overflow0 = jnp.asarray(False)
+        if self._pvary is not None:
+            # Under shard_map the overflow flag is device-varying; the
+            # while_loop carry must start with matching axis metadata.
+            overflow0 = self._pvary(overflow0)
         carry = (
             p,
             jnp.asarray(params.dt, jnp.float32),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
+            overflow0,
         )
         p, _, niter, overflow = jax.lax.while_loop(cond, body, carry)
         return p, niter, overflow

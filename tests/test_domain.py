@@ -1,0 +1,132 @@
+"""Domain-decomposed multi-device pipeline vs single-device equivalence.
+
+Runs on the virtual 8-device CPU mesh (conftest). This is the distributed
+correctness test the reference never had (SURVEY §4: "no distributed
+tests"): slab decomposition + halo merge + migration must reproduce the
+single-chip trajectory exactly (same additive reductions, just partitioned).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sparkl_tpu as sk
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.models import registry
+from sparkl_tpu.parallel.domain import DomainSparsePipeline
+from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
+
+
+def _scene():
+    # Wide 3D sand bar spanning the full x range so several slabs own particles.
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(128, 32, 32))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.5, 1.2),
+        counts=(60, 6, 6),
+        model_id=0,
+        particle_radius=0.025,
+        density0=2700.0,
+    )
+    rng = np.random.default_rng(0)
+    vel = rng.normal(scale=0.4, size=(p.capacity, 3)).astype(np.float32)
+    vel[:, 0] += 1.0  # drift in +x to exercise migration
+    p = p.replace(velocity=jnp.asarray(vel))
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    return grid, models, colliders, params, [0.0, -9.81, 0.0], p
+
+
+def _sorted_state(p):
+    act = np.asarray(p.active)
+    pos = np.asarray(p.position)[act]
+    vel = np.asarray(p.velocity)[act]
+    f = np.asarray(p.deformation_gradient)[act]
+    o = np.lexsort(pos.T)
+    return pos[o], vel[o], f[o]
+
+
+def test_domain_matches_single_device_one_substep():
+    """One substep must match the single-device result to fp roundoff —
+    this pins the halo merge and dt reduction exactly. (Longer horizons
+    diverge chaotically: summation order differs at slab boundaries and the
+    Drucker-Prager case boundaries amplify 1e-7 into visible differences,
+    just like the reference's atomic-add nondeterminism.)"""
+    grid, models, colliders, params, gravity, p = _scene()
+    params = sk.SolverParameters(dt=params.dt, stop_after_one_substep=True)
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    assert dom.n_shards == 8
+
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, f_s = _sorted_state(ps)
+    pos_d, vel_d, f_d = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-6)
+
+
+def test_domain_matches_single_device_frames():
+    """Multi-frame: trajectories stay statistically identical (counts exact,
+    bulk within tolerance; isolated chaotic outliers allowed)."""
+    grid, models, colliders, params, gravity, p = _scene()
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    ps = jax.tree_util.tree_map(jnp.array, p)
+    pd = dom.distribute(p)
+    for _ in range(3):
+        ps, _ = single.step_with_stats(ps)
+        pd, _ = dom.step_with_stats(pd)
+
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, _, _ = _sorted_state(ps)
+    pos_d, _, _ = _sorted_state(pd)
+    err = np.linalg.norm(pos_s - pos_d, axis=1)
+    # 99.5% of particles agree tightly; a handful may diverge chaotically.
+    assert np.quantile(err, 0.995) < 1e-3
+    assert np.median(err) < 1e-4
+
+
+def test_domain_migration_moves_particles():
+    grid, models, colliders, params, gravity, p = _scene()
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    pd = dom.distribute(p)
+    cap = pd.capacity // dom.n_shards
+
+    def shard_counts(q):
+        act = np.asarray(q.active).reshape(dom.n_shards, cap)
+        return act.sum(axis=1)
+
+    before = shard_counts(pd)
+    for _ in range(4):
+        pd, _ = dom.step_with_stats(pd)
+    after = shard_counts(pd)
+    assert before.sum() == after.sum()
+    # +x drift at 1 m/s for 4/60 s ≈ 6.7 cm < one cell; run enough frames so
+    # at least some boundary particles changed shard.
+    # (If nothing migrated the distributions would be identical.)
+    assert not np.array_equal(before, after)
