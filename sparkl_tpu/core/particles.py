@@ -180,15 +180,26 @@ def cube_particles(origin, counts, model_id, particle_radius, density0, randomiz
     Ref: helper.rs `cube_particles` — particles at origin + (2r)*(i,j,k).
     `counts` is a tuple of per-axis counts; dim inferred from its length.
     """
-    rng = np.random.default_rng(seed)
-    axes = [np.arange(c, dtype=np.float32) for c in counts]
-    mesh = np.meshgrid(*axes, indexing="ij")
-    pts = np.stack([m.reshape(-1) for m in mesh], axis=-1) * (2.0 * particle_radius)
-    pts += np.asarray(origin, np.float32)
-    if randomize:
-        pts += rng.uniform(
-            -particle_radius, particle_radius, size=pts.shape
-        ).astype(np.float32)
+    # Prefer the C++ host sampler (native/sparkl_host.cpp); numpy fallback.
+    pts = None
+    try:
+        from sparkl_tpu import native
+
+        pts = native.cube_particles(origin, counts, particle_radius, randomize, seed)
+    except Exception:
+        pts = None
+    if pts is None:
+        rng = np.random.default_rng(seed)
+        axes = [np.arange(c, dtype=np.float32) for c in counts]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([m.reshape(-1) for m in mesh], axis=-1) * (
+            2.0 * particle_radius
+        )
+        pts += np.asarray(origin, np.float32)
+        if randomize:
+            pts += rng.uniform(
+                -particle_radius, particle_radius, size=pts.shape
+            ).astype(np.float32)
     return Particles.from_positions(
         pts, model_id, particle_radius, density0, capacity=capacity, **overrides
     )

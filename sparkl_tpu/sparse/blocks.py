@@ -98,6 +98,25 @@ class BlockConfig:
         act = np.asarray(active)
         dim = pos.shape[1]
         c = default_chunk_size(dim)
+
+        # Prefer the C++ host runtime (native/sparkl_host.cpp).
+        try:
+            from sparkl_tpu import native
+
+            counts = native.calibrate_blocks(
+                pos, act, grid.origin, grid.cell_width, grid.res, BLOCK_SIDE, c
+            )
+        except Exception:
+            counts = None
+        if counts is not None:
+            n_blocks, n_chunks, n_grid = counts
+            return BlockConfig(
+                max_blocks=int(n_blocks * slack) + 16,
+                max_chunks=int(n_chunks * slack) + 16,
+                chunk_size=c,
+                max_grid_blocks=int(n_grid * slack) + 16,
+            )
+
         origin = np.asarray(grid.origin, np.float64)
         base = np.round((pos - origin) / grid.cell_width).astype(np.int64) - 1
         res = np.asarray(grid.res)

@@ -177,3 +177,74 @@ def test_morton_roundtrip():
 def test_inv_exact():
     x = jnp.asarray([0.0, 2.0, -4.0])
     np.testing.assert_allclose(np.asarray(linalg.inv_exact(x)), [0.0, 0.5, -0.25])
+
+
+def test_native_host_runtime():
+    """C++ host library (native/sparkl_host.cpp) agrees with the numpy paths."""
+    from sparkl_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    # cube sampler == numpy lattice
+    pts = native.cube_particles((1.0, 2.0, 3.0), (4, 5, 6), 0.05)
+    axes = [np.arange(c, dtype=np.float32) for c in (4, 5, 6)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    want = np.stack([m.reshape(-1) for m in mesh], -1) * 0.1 + np.array(
+        [1.0, 2.0, 3.0], np.float32
+    )
+    np.testing.assert_allclose(pts, want, atol=1e-6)
+
+    # polygon containment == numpy even-odd
+    poly = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    q = rng.uniform(-0.5, 1.5, size=(500, 2)).astype(np.float32)
+    got = native.polygon_contains(poly, q)
+    want = (
+        (q[:, 0] > 0) & (q[:, 0] < 1) & (q[:, 1] > 0) & (q[:, 1] < 1)
+    )
+    # Exclude points within eps of edges (tie-breaking differs harmlessly).
+    interior = np.min(
+        np.abs(np.stack([q[:, 0], 1 - q[:, 0], q[:, 1], 1 - q[:, 1]])), axis=0
+    ) > 1e-4
+    np.testing.assert_array_equal(got[interior], want[interior])
+
+    # morton codes == jnp implementation
+    pos = rng.uniform(0, 50, size=(1000, 3)).astype(np.float32)
+    codes = native.morton_codes(pos, (0.0, 0.0, 0.0), 0.1)
+    cells = np.floor(pos / 0.1).astype(np.uint32)
+    want = np.asarray(
+        morton.morton3_encode(
+            jnp.asarray(cells[:, 0] & 0x3FF),
+            jnp.asarray(cells[:, 1] & 0x3FF),
+            jnp.asarray(cells[:, 2] & 0x3FF),
+        ),
+        np.uint64,
+    )
+    # Native uses 21-bit fields; restrict comparison to coords < 1024 where
+    # the two agree bit-for-bit.
+    small = (cells < 1024).all(axis=1)
+    np.testing.assert_array_equal(codes[small] & np.uint64((1 << 30) - 1),
+                                  want[small])
+
+    # calibration == numpy unique-count path
+    from sparkl_tpu.core.grid import GridParams
+    from sparkl_tpu.sparse import blocks as B
+
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(64, 64, 64))
+    act = np.ones(len(pos), bool)
+    got = native.calibrate_blocks(pos, act, grid.origin, 0.1, grid.res, 4, 128)
+    assert got is not None
+    n_blocks, n_chunks, n_grid = got
+    # numpy oracle
+    base = np.round(pos / 0.1).astype(np.int64) - 1
+    ok = ((base >= 0) & (base + 2 <= 63)).all(axis=1)
+    bc = base[ok] // 4
+    bspace = (16, 16, 16)
+    key = (bc[:, 0] * 16 + bc[:, 1]) * 16 + bc[:, 2]
+    uniq, cnt = np.unique(key, return_counts=True)
+    assert n_blocks == len(uniq)
+    assert n_chunks == int(np.sum(-(-cnt // 128)))
