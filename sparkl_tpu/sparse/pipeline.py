@@ -100,20 +100,54 @@ class SparseMpmPipeline:
 
     # -- one substep (traced) -------------------------------------------------
 
-    def _substep(self, p, dt):
+    def _recompute_fluids_sparse(self, p, structure, inv_perm):
+        """Fluid volume recomputation on the block-sparse transfers:
+        mass-only P2G, then a mass gather per particle; sets F00 = V_new/V0
+        for fluids (ref: fluids_volume.rs recompute_fluids_volumes)."""
+        grid, models, cfg = self.grid, self.models, self._cfg
+        dim = grid.dim
+        cpb = B.cells_per_block(dim)
+        nf = 1 + dim + 2
+        zero = jnp.zeros_like(p.mass)
+        zvec = jnp.zeros_like(p.velocity)
+        zmat = jnp.zeros_like(p.velocity_gradient)
+
+        images = T.p2g_images(
+            grid, cfg, structure, p.position, p.mass, zvec, zmat, zero, zero,
+            group_size=self.group_size,
+        )
+        node = T.merge_images_to_grid(grid, cfg, structure, images)
+        node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
+        mass_g = node[:, 0, :]
+        # Gather through the psi channel of the window machinery.
+        win_fields = jnp.concatenate(
+            [jnp.zeros((cfg.max_grid_blocks + 1, dim, cpb), jnp.float32),
+             mass_g[:, None, :]],
+            axis=1,
+        ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
+        windows = T.gather_grid_windows(grid, cfg, structure, win_fields)
+        _, _, _, mass_s, _ = T.g2p_from_windows(
+            grid, cfg, structure, p.position, windows, group_size=self.group_size
+        )
+        (new_mass,) = T.scatter_slots_to_particles(cfg, structure, inv_perm, mass_s)
+
+        h = grid.cell_width
+        new_density = new_mass / (h**dim)
+        new_volume = p.mass / jnp.maximum(new_density, 1e-20)
+        is_fluid = models.is_fluid(p.model_id)
+        f = p.deformation_gradient
+        f = f.at[:, 0, 0].set(
+            jnp.where(is_fluid & p.active, new_volume / p.volume0, f[:, 0, 0])
+        )
+        return p.replace(deformation_gradient=f)
+
+    def _substep(self, p, dt, structure, inv_perm):
         grid, models, params, cfg = self.grid, self.models, self.params, self._cfg
         dim = grid.dim
         cpb = B.cells_per_block(dim)
         h = grid.cell_width
         invd = kernel_inv_d(h)
         nf = 1 + dim + 2
-
-        structure = B.build_structure(grid, cfg, p.position, p.active)
-        # Particles stay in their original order; chunk gathers compose with
-        # sorted_ids, and G2P outputs come back through the inverse
-        # permutation (argsort of a permutation = its inverse, ~1ms at 500k
-        # vs ~100ms for permuting the whole pytree).
-        inv_perm = jnp.argsort(structure.sorted_ids)
 
         # Stress + affine in flat layout.
         stress = registry.kirchhoff_stress(
@@ -268,12 +302,19 @@ class SparseMpmPipeline:
         def body(carry):
             p, remaining, niter, overflow = carry
             p = dense.mark_out_of_grid_failed(grid, p)
-            if params.force_fluids_volume_recomputation:
-                p = dense.recompute_fluids_volumes(grid, p, models)
 
             if self._migrate_fn is not None:
                 p, mig_overflow = self._migrate_fn(p)
                 overflow = overflow | mig_overflow
+
+            # One structure build per substep, shared by the fluid-volume
+            # recompute and the transfer stages (the reference sorts once per
+            # substep too, mls_solver.rs:36-47).
+            structure = B.build_structure(grid, self._cfg, p.position, p.active)
+            inv_perm = jnp.argsort(structure.sorted_ids)
+
+            if params.force_fluids_volume_recomputation:
+                p = self._recompute_fluids_sparse(p, structure, inv_perm)
 
             max_dt = jnp.minimum(remaining, params.max_substep_dt)
             dt = dense.adaptive_timestep(grid, p, models, max_dt)
@@ -286,7 +327,7 @@ class SparseMpmPipeline:
 
                 p = evolve_eigenerosion(grid, p)
 
-            p, ov = self._substep(p, dt)
+            p, ov = self._substep(p, dt, structure, inv_perm)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
             return (p, remaining, niter + 1, overflow | ov)
 

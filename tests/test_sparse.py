@@ -224,3 +224,32 @@ def test_pallas_kernels_match_xla_path(dim):
     vx = np.asarray(p_x.velocity)[np.asarray(p_x.active)][ox]
     vq = np.asarray(p_p.velocity)[np.asarray(p_p.active)][oq]
     np.testing.assert_allclose(vx, vq, atol=1e-5)
+
+
+def test_sparse_fluids_volume_matches_dense():
+    """Fluids with force_fluids_volume_recomputation: sparse mass-gather
+    path must reproduce the dense scatter/gather (fluids_volume.rs)."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.monaghan_sph_eos(1.0e4, 7, 1.01e-3))]
+    )
+    p = sk.cube_particles(
+        origin=(1.5, 1.5), counts=(20, 20), model_id=0,
+        particle_radius=0.025, density0=1000.0,
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.0)]
+    params = sk.SolverParameters(dt=1.0 / 60.0, force_fluids_volume_recomputation=True)
+    gravity = [0.0, -9.81]
+
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    spipe = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    ps = spipe.step(p)
+
+    pos_d = np.asarray(pd.position)[np.asarray(pd.active)]
+    pos_s = np.asarray(ps.position)[np.asarray(ps.active)]
+    od, os_ = np.lexsort(pos_d.T), np.lexsort(pos_s.T)
+    np.testing.assert_allclose(pos_d[od], pos_s[os_], atol=1e-5)
+    fd = np.asarray(pd.deformation_gradient)[np.asarray(pd.active)][od]
+    fs = np.asarray(ps.deformation_gradient)[np.asarray(ps.active)][os_]
+    np.testing.assert_allclose(fd[:, 0, 0], fs[:, 0, 0], atol=1e-4)
