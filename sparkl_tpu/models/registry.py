@@ -138,6 +138,74 @@ def maximum_stress_failure(max_principal_stress, max_shear_stress):
     return (fail.MAXIMUM_STRESS, (max_principal_stress, max_shear_stress))
 
 
+# ---------------------------------------------------------------------------
+# Extension points: external + custom models
+# (ref: src/dynamics/models/external_model.rs ExternalModel,
+#  CoreConstitutiveModel::Custom(u32) and the ParticleUpdater /
+#  CudaParticleKernelsLauncher custom-physics traits)
+# ---------------------------------------------------------------------------
+
+EXTERNAL = 15  # stress computed outside the solver: zero stress, no dt bound
+
+_custom_constitutive = {}
+_custom_plastic = {}
+_custom_failure = {}
+
+
+def external_model():
+    """Constitutive model that contributes nothing — stress is supplied by
+    user code between steps. Ref: external_model.rs ExternalModel."""
+    return (EXTERNAL, ())
+
+
+def register_custom_constitutive(
+    tag, stress_fn, is_fluid=False, pos_energy_fn=None, timestep_fn=None
+):
+    """Register a user constitutive model under type code CUSTOM_BASE + tag.
+
+    stress_fn(params[N, 4], ctx) -> [N, d, d] Kirchhoff stress, where ctx is
+    a dict with phase, elastic_hardening, deformation_gradient,
+    velocity_gradient, mass, volume0 (all batched). Traced under jit —
+    must be pure jnp. Returns the spec tuple for ParticleModel.
+    """
+    code = con.CUSTOM_BASE + int(tag)
+    _custom_constitutive[code] = dict(
+        stress=stress_fn,
+        is_fluid=bool(is_fluid),
+        pos_energy=pos_energy_fn,
+        timestep=timestep_fn,
+    )
+
+    def spec(*params):
+        return (code, tuple(params))
+
+    return spec
+
+
+def register_custom_plasticity(tag, update_fn):
+    """update_fn(params[N, 8], ctx) -> dict of updated fields among
+    {deformation_gradient, plastic_def_det, plastic_hardening,
+     elastic_hardening, log_vol_gain, nacc_alpha}."""
+    code = plas.PLASTIC_CUSTOM_BASE + int(tag)
+    _custom_plastic[code] = update_fn
+
+    def spec(*params):
+        return (code, tuple(params))
+
+    return spec
+
+
+def register_custom_failure(tag, failed_fn):
+    """failed_fn(params[N, 2], stress[N, d, d]) -> bool[N]."""
+    code = fail.FAILURE_CUSTOM_BASE + int(tag)
+    _custom_failure[code] = failed_fn
+
+    def spec(*params):
+        return (code, tuple(params))
+
+    return spec
+
+
 @dataclass(frozen=True)
 class ParticleModel:
     """One material = constitutive model (+ optional plasticity / failure).
@@ -210,8 +278,13 @@ class ModelSet:
         return self.ctype.shape[0]
 
     def is_fluid(self, model_id):
-        """bool[N]: particle's constitutive model is a fluid (EOS)."""
-        return self.ctype[model_id] == con.EOS_MONAGHAN_SPH
+        """bool[N]: particle's constitutive model is a fluid."""
+        ct = self.ctype[model_id]
+        fluid = ct == con.EOS_MONAGHAN_SPH
+        for code in self.present_c:
+            if code in _custom_constitutive and _custom_constitutive[code]["is_fluid"]:
+                fluid = fluid | (ct == code)
+        return fluid
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +332,16 @@ def kirchhoff_stress(
             velocity_gradient,
         )
         out = jnp.where((ct == con.EOS_MONAGHAN_SPH)[..., None, None], s, out)
+    for code in ms.present_c:
+        if code in _custom_constitutive:
+            ctx = dict(
+                phase=phase, elastic_hardening=elastic_hardening,
+                deformation_gradient=f, velocity_gradient=velocity_gradient,
+                mass=mass, volume0=volume0,
+            )
+            s = _custom_constitutive[code]["stress"](cp, ctx)
+            out = jnp.where((ct == code)[..., None, None], s, out)
+    # EXTERNAL contributes zero stress (out already zero there).
     return out
 
 
@@ -275,6 +358,13 @@ def pos_energy(ms: ModelSet, model_id, phase, elastic_hardening, f):
     if con.NEO_HOOKEAN in ms.present_c:
         e = con.neo_hookean_pos_energy(cp[..., 0], cp[..., 1], phase, elastic_hardening, f)
         out = jnp.where(ct == con.NEO_HOOKEAN, e, out)
+    for code in ms.present_c:
+        cc = _custom_constitutive.get(code)
+        if cc and cc["pos_energy"] is not None:
+            e = cc["pos_energy"](cp, dict(phase=phase,
+                                          elastic_hardening=elastic_hardening,
+                                          deformation_gradient=f))
+            out = jnp.where(ct == code, e, out)
     return out
 
 
@@ -330,6 +420,13 @@ def timestep_bound(
             cell_width,
         )
         out = jnp.where(ct == con.EOS_MONAGHAN_SPH, b, out)
+    for code in ms.present_c:
+        cc = _custom_constitutive.get(code)
+        if cc and cc["timestep"] is not None:
+            b = cc["timestep"](cp, dict(deformation_gradient=f, mass=mass,
+                                        volume0=volume0, velocity=velocity,
+                                        cell_width=cell_width))
+            out = jnp.where(ct == code, b, out)
     return out
 
 
@@ -379,6 +476,27 @@ def apply_plasticity(
         elastic_hardening = jnp.where(m, eh2, elastic_hardening)
         plastic_def_det = jnp.where(m, pdd2, plastic_def_det)
 
+    for code in ms.present_p:
+        if code in _custom_plastic:
+            ctx = dict(
+                phase=phase,
+                deformation_gradient=f,
+                plastic_def_det=plastic_def_det,
+                plastic_hardening=plastic_hardening,
+                elastic_hardening=elastic_hardening,
+                log_vol_gain=log_vol_gain,
+                nacc_alpha=nacc_alpha,
+            )
+            upd = _custom_plastic[code](pp, ctx)
+            m = pt == code
+            if "deformation_gradient" in upd:
+                f = jnp.where(m[..., None, None], upd["deformation_gradient"], f)
+            plastic_def_det = jnp.where(m, upd.get("plastic_def_det", plastic_def_det), plastic_def_det)
+            plastic_hardening = jnp.where(m, upd.get("plastic_hardening", plastic_hardening), plastic_hardening)
+            elastic_hardening = jnp.where(m, upd.get("elastic_hardening", elastic_hardening), elastic_hardening)
+            log_vol_gain = jnp.where(m, upd.get("log_vol_gain", log_vol_gain), log_vol_gain)
+            nacc_alpha = jnp.where(m, upd.get("nacc_alpha", nacc_alpha), nacc_alpha)
+
     return (
         f,
         plastic_def_det,
@@ -401,4 +519,8 @@ def apply_failure(ms: ModelSet, model_id, phase, stress):
     if fail.MAXIMUM_STRESS in ms.present_f:
         trip = fail.maximum_stress_failed(fp, stress)
         failed = failed | ((ft == fail.MAXIMUM_STRESS) & trip)
+    for code in ms.present_f:
+        if code in _custom_failure:
+            trip = _custom_failure[code](fp, stress)
+            failed = failed | ((ft == code) & trip)
     return jnp.where(failed, 0.0, phase)

@@ -276,3 +276,54 @@ def test_timestep_bound_scales():
     k = LAM + 2 * MU / 3
     c = np.sqrt((k + 4.0 / 3.0 * MU) / 2.0)
     np.testing.assert_allclose(np.asarray(bound), 0.9 * 0.1 / c, rtol=1e-5)
+
+
+def test_external_and_custom_models():
+    """Extension points: ExternalModel (zero stress, no dt bound) and custom
+    constitutive/plasticity/failure callables (ref: external_model.rs,
+    CoreConstitutiveModel::Custom, ParticleUpdater trait)."""
+    # Custom: simple linear elasticity sigma = k * (F - I) @ F^T.
+    def my_stress(params, ctx):
+        f = ctx["deformation_gradient"]
+        d = f.shape[-1]
+        eye = jnp.eye(d, dtype=f.dtype)
+        return params[..., 0][..., None, None] * jnp.einsum(
+            "...ik,...jk->...ij", f - eye, f
+        )
+
+    my_spec = registry.register_custom_constitutive(1, my_stress)
+
+    def my_failure(params, stress):
+        return stress[..., 0, 0] > params[..., 0]
+
+    my_fail_spec = registry.register_custom_failure(1, my_failure)
+
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(registry.external_model()),
+            registry.ParticleModel(my_spec(1000.0), failure=my_fail_spec(5.0)),
+        ]
+    )
+    n = 4
+    model_id = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    f = jnp.broadcast_to(jnp.eye(2), (n, 2, 2)).at[2, 0, 0].set(1.5).at[3, 0, 0].set(1.01)
+    stress = registry.kirchhoff_stress(
+        models, model_id, jnp.ones(n), jnp.ones(n), f,
+        jnp.zeros((n, 2, 2)), jnp.ones(n), jnp.ones(n),
+    )
+    s = np.asarray(stress)
+    np.testing.assert_allclose(s[0], 0.0)  # external: zero stress
+    np.testing.assert_allclose(s[2, 0, 0], 1000.0 * 0.5 * 1.5, rtol=1e-5)
+
+    # External model: no dt bound.
+    bound = registry.timestep_bound(
+        models, model_id, jnp.ones(n), jnp.ones(n), f,
+        jnp.ones(n), jnp.ones(n), jnp.zeros((n, 2)), 0.1,
+    )
+    assert np.isinf(np.asarray(bound)[0])
+
+    # Custom failure trips phase only where stress00 exceeds the threshold.
+    phase = registry.apply_failure(models, model_id, jnp.ones(n), stress)
+    ph = np.asarray(phase)
+    assert ph[2] == 0.0  # 750 > 5
+    assert ph[0] == 1.0  # external, no failure model
