@@ -44,3 +44,7 @@ class SolverParameters:
     enable_boundary_particle_projection: bool = False
     stop_after_one_substep: bool = False
     simulation_dofs: SimulationDofs = SimulationDofs.LOCK_NONE
+    # The reference's GPU pipeline clamps per-particle velocity so no
+    # component crosses a full cell per substep (particle_updater.rs:113-121);
+    # its CPU pipeline does not. Off by default (CPU semantics).
+    gpu_velocity_clamp: bool = False

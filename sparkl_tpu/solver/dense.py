@@ -301,6 +301,7 @@ def g2p_update(
     colliders=(),
     damage_model: DamageModel = DamageModel.NONE,
     enable_boundary_particle_projection: bool = False,
+    gpu_velocity_clamp: bool = False,
 ):
     """Full grid-to-particle transfer + particle state update.
 
@@ -323,6 +324,7 @@ def g2p_update(
         colliders=colliders,
         damage_model=damage_model,
         enable_boundary_particle_projection=enable_boundary_particle_projection,
+        gpu_velocity_clamp=gpu_velocity_clamp,
     )
 
 
@@ -338,6 +340,7 @@ def particle_update_after_gather(
     colliders=(),
     damage_model: DamageModel = DamageModel.NONE,
     enable_boundary_particle_projection: bool = False,
+    gpu_velocity_clamp: bool = False,
 ):
     """Particle state update given gathered grid quantities (shared by the
     dense reference path and the block-sparse MXU path)."""
@@ -357,6 +360,13 @@ def particle_update_after_gather(
 
     # Advection (kinematic override; ref :81-89).
     velocity = jnp.where(p.kinematic_enabled[..., None], p.kinematic_vel, velocity)
+    if gpu_velocity_clamp:
+        # GPU-path CFL clamp: if ANY component would cross a cell this
+        # substep, clamp ALL components to +-h/dt (particle_updater.rs:113-121).
+        h = grid.cell_width
+        over = jnp.any(jnp.abs(velocity) * dt >= h, axis=-1)
+        clamped = jnp.sign(velocity) * (h / dt)
+        velocity = jnp.where(over[..., None], clamped, velocity)
     position = p.position + velocity * dt
 
     # Deformation gradient update (ref :91-105).

@@ -116,6 +116,7 @@ class MpmPipeline:
             colliders=self.colliders,
             damage_model=params.damage_model,
             enable_boundary_particle_projection=params.enable_boundary_particle_projection,
+            gpu_velocity_clamp=params.gpu_velocity_clamp,
         )
         return p
 

@@ -282,6 +282,7 @@ class SparseMpmPipeline:
             colliders=self.colliders,
             damage_model=params.damage_model,
             enable_boundary_particle_projection=params.enable_boundary_particle_projection,
+            gpu_velocity_clamp=params.gpu_velocity_clamp,
         )
         overflow = (
             (structure.num_blocks > cfg.max_blocks)

@@ -205,3 +205,33 @@ def test_pipeline_fluid_smoke_2d():
     pos = np.asarray(p.position)[np.asarray(p.active)]
     assert np.isfinite(pos).all()
     assert pos[:, 1].min() > 0.5
+
+
+def test_gpu_velocity_clamp():
+    """GPU-path CFL clamp (particle_updater.rs:113-121): if any velocity
+    component would cross a cell per substep, all components clamp to h/dt."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = _models()
+    p = _block(grid, n=4)
+    n = p.capacity
+    vel = jnp.zeros((n, 2)).at[:, 0].set(100.0).at[:, 1].set(0.01)
+    state = GridState.zeros(grid).replace(
+        velocity=jnp.broadcast_to(jnp.asarray([100.0, 0.01]), (64, 64, 2)),
+        mass=jnp.ones((64, 64)),
+    )
+    dt = 1e-3  # 100 * 1e-3 = 0.1 >= h = 0.05 -> clamp
+    out = dense.g2p_update(grid, state, p, models, dt)
+    # Un-clamped: velocity = grid velocity.
+    v = np.asarray(out.velocity)[np.asarray(out.active)]
+    np.testing.assert_allclose(v[:, 0], 100.0, rtol=1e-4)
+
+    out2 = dense.particle_update_after_gather(
+        grid, p, models, dt,
+        jnp.broadcast_to(jnp.asarray([100.0, 0.01]), (n, 2)),
+        jnp.zeros((n, 2, 2)), jnp.zeros(n), jnp.zeros(n),
+        gpu_velocity_clamp=True,
+    )
+    v2 = np.asarray(out2.velocity)[np.asarray(out2.active)]
+    np.testing.assert_allclose(v2[:, 0], 0.05 / dt, rtol=1e-5)
+    # ALL components clamp when any exceeds (reference semantics).
+    np.testing.assert_allclose(v2[:, 1], 0.05 / dt, rtol=1e-5)
