@@ -327,3 +327,33 @@ def test_external_and_custom_models():
     ph = np.asarray(phase)
     assert ph[2] == 0.0  # 750 > 5
     assert ph[0] == 1.0  # external, no failure model
+
+
+def test_nacc_tip_projections():
+    """NACC: compression past the yield-surface tip projects to the uniform
+    stretch with J_e = sqrt(-2 p0/kappa + 1); hardening accumulates alpha.
+    Ref: plasticity_nacc.rs project_deformation_gradient cases A/B."""
+    mu, kappa = 1.0e5, 2.0e5
+    beta, xi, m = 0.5, 3.0, 1.85
+    params = jnp.broadcast_to(
+        jnp.asarray([mu, kappa, 1.0, xi, beta, m], jnp.float32), (1, 6)
+    )
+    alpha0 = -0.01
+    p0 = kappa * (1e-5 + np.sinh(xi * max(-alpha0, 0.0)))
+
+    # Strong compression: p_tr > p0 -> project to max tip (case A).
+    f = jnp.asarray((np.eye(3) * 0.5).astype(np.float32)[None])
+    fn, na = plas.nacc_update(params, f, jnp.full(1, alpha0))
+    s = np.linalg.svd(np.asarray(fn)[0], compute_uv=False)
+    j_tip = np.sqrt(-2.0 * p0 / kappa + 1.0)
+    np.testing.assert_allclose(s, j_tip ** (1.0 / 3.0), rtol=1e-3)
+    # Hardening: alpha increased by ln(J_tr / J_tip).
+    want_alpha = alpha0 + np.log(0.5**3 / j_tip)
+    np.testing.assert_allclose(float(na[0]), want_alpha, rtol=1e-3)
+
+    # Strong expansion: p_tr < -beta p0 -> min tip (case B).
+    f = jnp.asarray((np.eye(3) * 1.8).astype(np.float32)[None])
+    fn, na = plas.nacc_update(params, f, jnp.full(1, alpha0))
+    s = np.linalg.svd(np.asarray(fn)[0], compute_uv=False)
+    j_tip_b = np.sqrt(2.0 * beta * p0 / kappa + 1.0)
+    np.testing.assert_allclose(s, j_tip_b ** (1.0 / 3.0), rtol=1e-3)
