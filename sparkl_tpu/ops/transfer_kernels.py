@@ -153,7 +153,7 @@ def _dot_nt(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(grid, dim, slots_ref, out_ref):
+def _p2g_kernel(grid, dim, with_psi, slots_ref, out_ref):
     data = slots_ref[0]  # [NF_IN, C]
     pos_rows = [data[ax, :] for ax in range(dim)]
     w_full, wd = _window_tensors(grid, pos_rows, dim)  # [RC, C] each
@@ -164,12 +164,13 @@ def _p2g_kernel(grid, dim, slots_ref, out_ref):
     psi_m = data[a_off + dim * dim, :]
     psi_mom = data[a_off + dim * dim + 1, :]
 
-    # [m, m*v..., psi_mom, psi_m] through plain W; momentum additionally gets
-    # the affine columns through the dpt-weighted windows. Channels assembled
-    # by concatenation (Mosaic has no scatter/in-place add on values).
-    p0 = jnp.concatenate(
-        [m[None, :], m[None, :] * vel, psi_mom[None, :], psi_m[None, :]], axis=0
-    )  # [1+d+2, C]
+    # [m, m*v...[, psi_mom, psi_m]] through plain W; momentum additionally
+    # gets the affine columns through the dpt-weighted windows. Channels
+    # assembled by concatenation (Mosaic has no scatter/in-place add).
+    parts = [m[None, :], m[None, :] * vel]
+    if with_psi:
+        parts += [psi_mom[None, :], psi_m[None, :]]
+    p0 = jnp.concatenate(parts, axis=0)  # [1+d(+2), C]
     base_img = _dot_nt(p0, w_full)  # [(1+d+2), RC]
 
     mom = base_img[1 : 1 + dim, :]
@@ -180,21 +181,22 @@ def _p2g_kernel(grid, dim, slots_ref, out_ref):
         )  # affine column j, rows i
         mom = mom + _dot_nt(a_col, wd[j])
 
-    out_ref[0] = jnp.concatenate(
-        [base_img[:1, :], mom, base_img[1 + dim :, :]], axis=0
-    )
+    out_parts = [base_img[:1, :], mom]
+    if with_psi:
+        out_parts.append(base_img[1 + dim :, :])
+    out_ref[0] = jnp.concatenate(out_parts, axis=0)
 
 
-def p2g_windows_pallas(grid: GridParams, cfg, slot_data, interpret=False):
-    """slot_data [D, NF_IN, C] -> window images [D, 1+d+2, 8^d]."""
+def p2g_windows_pallas(grid: GridParams, cfg, slot_data, interpret=False, with_psi=True):
+    """slot_data [D, NF_IN, C] -> window images [D, 1+d(+2), 8^d]."""
     dim = grid.dim
     c = cfg.chunk_size
     rc = region_cells(dim)
-    nf = 1 + dim + 2
+    nf = 1 + dim + (2 if with_psi else 0)
     d_ = cfg.max_chunks
     nf_in = packed_rows(dim)
 
-    kernel = functools.partial(_p2g_kernel, grid, dim)
+    kernel = functools.partial(_p2g_kernel, grid, dim, with_psi)
     return pl.pallas_call(
         kernel,
         grid=(d_,),
@@ -212,41 +214,42 @@ def p2g_windows_pallas(grid: GridParams, cfg, slot_data, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(grid, dim, slots_ref, win_ref, out_ref):
+def _g2p_kernel(grid, dim, with_psi, slots_ref, win_ref, out_ref):
     data = slots_ref[0]
     pos_rows = [data[ax, :] for ax in range(dim)]
     w_full, wd = _window_tensors(grid, pos_rows, dim)  # [RC, C]
 
-    win = win_ref[0]  # [d+1, RC]
+    win = win_ref[0]  # [d(+1), RC]
     win_v = win[:dim, :]
-    win_psi = win[dim : dim + 1, :]
 
     invd = kernel_inv_d(grid.cell_width)
 
     vel = _dot(win_v, w_full)  # [d, C]
-    psi = _dot(win_psi, w_full)  # [1, C]
     grads = [invd * _dot(win_v, wd[j]) for j in range(dim)]  # each [d(i), C]
+    parts = [vel] + grads
+    if with_psi:
+        parts.append(_dot(win[dim : dim + 1, :], w_full))  # [1, C]
+    out_ref[0] = jnp.concatenate(parts, axis=0)
 
-    out_ref[0] = jnp.concatenate([vel] + grads + [psi], axis=0)
 
-
-def g2p_windows_pallas(grid: GridParams, cfg, slot_data, windows, interpret=False):
-    """windows [D, d+1, 8^d] (velocity + psi ratio) -> slot outputs
-    [D, d + d*d + 1, C]; rows = [vel(d), grad cols j-major (d*d), psi(1)]."""
+def g2p_windows_pallas(grid: GridParams, cfg, slot_data, windows, interpret=False, with_psi=True):
+    """windows [D, d(+1), 8^d] (velocity [+ psi ratio]) -> slot outputs
+    [D, d + d*d (+1), C]; rows = [vel(d), grad cols j-major (d*d)[, psi]]."""
     dim = grid.dim
     c = cfg.chunk_size
     rc = region_cells(dim)
     d_ = cfg.max_chunks
     nf_in = packed_rows(dim)
-    nf_out = dim + dim * dim + 1
+    n_win = dim + (1 if with_psi else 0)
+    nf_out = dim + dim * dim + (1 if with_psi else 0)
 
-    kernel = functools.partial(_g2p_kernel, grid, dim)
+    kernel = functools.partial(_g2p_kernel, grid, dim, with_psi)
     return pl.pallas_call(
         kernel,
         grid=(d_,),
         in_specs=[
             pl.BlockSpec((1, nf_in, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim + 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_win, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, nf_out, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

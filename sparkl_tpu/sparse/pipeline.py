@@ -107,17 +107,17 @@ class SparseMpmPipeline:
         grid, models, cfg = self.grid, self.models, self._cfg
         dim = grid.dim
         cpb = B.cells_per_block(dim)
-        nf = 1 + dim + 2
         zero = jnp.zeros_like(p.mass)
         zvec = jnp.zeros_like(p.velocity)
         zmat = jnp.zeros_like(p.velocity_gradient)
 
         images = T.p2g_images(
             grid, cfg, structure, p.position, p.mass, zvec, zmat, zero, zero,
-            group_size=self.group_size,
+            group_size=self.group_size, with_psi=True,
         )
+        nf_psi = 1 + dim + 2
         node = T.merge_images_to_grid(grid, cfg, structure, images)
-        node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
+        node = node.reshape(cfg.max_grid_blocks + 1, nf_psi, cpb)
         mass_g = node[:, 0, :]
         # Gather through the psi channel of the window machinery.
         win_fields = jnp.concatenate(
@@ -127,7 +127,8 @@ class SparseMpmPipeline:
         ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
         windows = T.gather_grid_windows(grid, cfg, structure, win_fields)
         _, _, _, mass_s, _ = T.g2p_from_windows(
-            grid, cfg, structure, p.position, windows, group_size=self.group_size
+            grid, cfg, structure, p.position, windows,
+            group_size=self.group_size, with_psi=True,
         )
         (new_mass,) = T.scatter_slots_to_particles(cfg, structure, inv_perm, mass_s)
 
@@ -141,13 +142,24 @@ class SparseMpmPipeline:
         )
         return p.replace(deformation_gradient=f)
 
+    @property
+    def _with_psi(self):
+        # psi (crack energy) transfer channels exist only for the
+        # eigenerosion damage family; skipping them saves a third of the
+        # transfer payload traffic for plain scenes.
+        return self.params.damage_model in (
+            DamageModel.EIGENEROSION,
+            DamageModel.MODIFIED_EIGENEROSION,
+        )
+
     def _substep(self, p, dt, structure, inv_perm):
         grid, models, params, cfg = self.grid, self.models, self.params, self._cfg
         dim = grid.dim
         cpb = B.cells_per_block(dim)
         h = grid.cell_width
         invd = kernel_inv_d(h)
-        nf = 1 + dim + 2
+        with_psi = self._with_psi
+        nf = 1 + dim + (2 if with_psi else 0)
 
         # Stress + affine in flat layout.
         stress = registry.kirchhoff_stress(
@@ -185,6 +197,7 @@ class SparseMpmPipeline:
             images = K.p2g_windows_pallas(
                 grid, cfg, slot_data,
                 interpret=(self.use_pallas == "interpret"),
+                with_psi=with_psi,
             )
         else:
             slot_data = None
@@ -199,6 +212,7 @@ class SparseMpmPipeline:
                 psi_mass_p,
                 psi_mom_p,
                 group_size=self.group_size,
+                with_psi=with_psi,
             )
         node = T.merge_images_to_grid(grid, cfg, structure, images)
         halo_overflow = jnp.asarray(False)
@@ -209,9 +223,13 @@ class SparseMpmPipeline:
         node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
 
         mass = node[:, 0, :]
-        mom = jnp.moveaxis(node[:, 1 : 1 + dim, :], 1, -1)  # [MB+1, cpb, d]
-        psi_mom_g = node[:, 1 + dim, :]
-        psi_mass_g = node[:, 2 + dim, :]
+        mom = jnp.moveaxis(node[:, 1 : 1 + dim, :], 1, -1)  # [MGB+1, cpb, d]
+        if with_psi:
+            psi_mom_g = node[:, 1 + dim, :]
+            psi_mass_g = node[:, 2 + dim, :]
+        else:
+            psi_mom_g = jnp.zeros_like(mass)
+            psi_mass_g = jnp.zeros_like(mass)
 
         inv_mass = linalg.inv_exact(mass)
         velocity = (mom + mass[..., None] * self.gravity * dt) * inv_mass[..., None]
@@ -240,11 +258,14 @@ class SparseMpmPipeline:
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
 
-        # G2P windows: channels [vel(d), psi_ratio].
-        psi_ratio = psi_mom_g * linalg.inv_exact(psi_mass_g)
-        win_fields = jnp.concatenate(
-            [jnp.moveaxis(velocity, -1, 1), psi_ratio[:, None, :]], axis=1
-        ).reshape(cfg.max_grid_blocks + 1, (dim + 1) * cpb)
+        # G2P windows: channels [vel(d)[, psi_ratio]].
+        win_parts = [jnp.moveaxis(velocity, -1, 1)]
+        if with_psi:
+            win_parts.append((psi_mom_g * linalg.inv_exact(psi_mass_g))[:, None, :])
+        n_win = dim + (1 if with_psi else 0)
+        win_fields = jnp.concatenate(win_parts, axis=1).reshape(
+            cfg.max_grid_blocks + 1, n_win * cpb
+        )
         windows = T.gather_grid_windows(grid, cfg, structure, win_fields)
 
         if self.use_pallas:
@@ -253,7 +274,8 @@ class SparseMpmPipeline:
             out = K.g2p_windows_pallas(
                 grid, cfg, slot_data, windows,
                 interpret=(self.use_pallas == "interpret"),
-            )  # [D, d + d*d + 1, C]
+                with_psi=with_psi,
+            )  # [D, d + d*d (+1), C]
             vel_s = jnp.moveaxis(out[:, :dim, :], 1, -1)  # [D, C, d]
             grad_cols = out[:, dim : dim + dim * dim, :].reshape(
                 cfg.max_chunks, dim, dim, cfg.chunk_size
@@ -261,10 +283,13 @@ class SparseMpmPipeline:
             det_s = sum(grad_cols[:, j, j, :] for j in range(dim))  # [D, C]
             grad_s = jnp.moveaxis(grad_cols, (1, 2), (2, 1))  # [D, i, j, C]
             grad_s = jnp.moveaxis(grad_s, -1, 1)  # [D, C, i, j]
-            psi_s = out[:, dim + dim * dim, :]
+            psi_s = (
+                out[:, dim + dim * dim, :] if with_psi else jnp.zeros_like(det_s)
+            )
         else:
             vel_s, grad_s, det_s, psi_s, _valid = T.g2p_from_windows(
-                grid, cfg, structure, p.position, windows, group_size=self.group_size
+                grid, cfg, structure, p.position, windows,
+                group_size=self.group_size, with_psi=with_psi,
             )
         velocity_p, grad_p, det_p, psi_p = T.scatter_slots_to_particles(
             cfg, structure, inv_perm, vel_s, grad_s, det_s, psi_s

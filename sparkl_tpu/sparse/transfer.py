@@ -152,9 +152,11 @@ def p2g_images(
     psi_mass_sorted,
     psi_mom_sorted,
     group_size: int = 256,
+    with_psi: bool = True,
 ):
-    """Per-chunk 8^d window images [D, F, 8^d] with F = 1+d+2 channels
-    (mass, momentum, psi_momentum, psi_mass)."""
+    """Per-chunk 8^d window images [D, F, 8^d] with F = 1+d(+2) channels
+    (mass, momentum[, psi_momentum, psi_mass]); the psi channels exist only
+    for the eigenerosion damage family (with_psi)."""
     dim = grid.dim
     rc = region_cells(dim)
     d_, c = cfg.max_chunks, cfg.chunk_size
@@ -173,14 +175,14 @@ def p2g_images(
 
     # f-major payloads.
     mv = m[:, None, :] * jnp.moveaxis(v, -1, 1)  # [D, d, C]
-    p0 = jnp.concatenate(
-        [m[:, None, :], mv, (psi_mom * valid)[:, None, :], (psi_m * valid)[:, None, :]],
-        axis=1,
-    )  # [D, 1+d+2, C]
+    parts = [m[:, None, :], mv]
+    if with_psi:
+        parts += [(psi_mom * valid)[:, None, :], (psi_m * valid)[:, None, :]]
+    p0 = jnp.concatenate(parts, axis=1)  # [D, 1+d(+2), C]
     # affine [D, C, d, d] -> field-major [D, d(i), d(j), C]
     a_fm = jnp.moveaxis(a_mat, 1, -1)
 
-    nf = 1 + dim + 2
+    nf = 1 + dim + (2 if with_psi else 0)
 
     def body(carry, inputs):
         pos_g, p0_g, a_g, valid_g = inputs
@@ -276,10 +278,11 @@ def g2p_from_windows(
     position_sorted,
     windows,
     group_size: int = 256,
+    with_psi: bool = True,
 ):
     """APIC gather from window images.
 
-    windows [D, d+1, 8^d]: velocity (d channels) + psi ratio (1 channel).
+    windows [D, d(+1), 8^d]: velocity (d channels) [+ psi ratio].
     Returns per-chunk-slot (velocity [D, C, d], velocity_gradient [D, C, d, d],
     velocity_gradient_det [D, C], psi_gather [D, C]).
     """
@@ -296,7 +299,7 @@ def g2p_from_windows(
         w = _outer_weights(w_ax_g)  # [G, C, RC]
         vel_psi = jnp.einsum(
             "gfp,gcp->gfc", win_g, w, preferred_element_type=jnp.float32
-        )  # [G, d+1, C]
+        )  # [G, d(+1), C]
         grads = []
         det = 0.0
         for j in range(dim):
@@ -325,12 +328,13 @@ def g2p_from_windows(
     _, (vel_psi, grad, det) = jax.lax.scan(
         body, None, (pad_g(pos), pad_g(windows))
     )
-    vel_psi = vel_psi.reshape(n_groups * g, dim + 1, c)[:d_]
+    nchan = dim + (1 if with_psi else 0)
+    vel_psi = vel_psi.reshape(n_groups * g, nchan, c)[:d_]
     grad = grad.reshape(n_groups * g, dim, dim, c)[:d_]
     det = det.reshape(n_groups * g, c)[:d_]
 
     velocity = jnp.moveaxis(vel_psi[:, :dim, :], 1, -1)  # [D, C, d]
-    psi = vel_psi[:, dim, :]
+    psi = vel_psi[:, dim, :] if with_psi else jnp.zeros_like(det)
     grad = jnp.moveaxis(grad, -1, 1)  # [D, C, d, d]
     return velocity, grad, det, psi, valid
 
