@@ -241,14 +241,20 @@ def l_panel2():
 
 @sc.register_scene("basic2")
 def basic2():
-    """Snow + sand + breakable star on a heightfield. Ref: examples2d/basic2.rs."""
-    # Parameters follow basic2.rs (E=1e5-ish per block); see file for details.
+    """Snow + sand + breakable star on a sine heightfield.
+
+    Ref: examples2d/basic2.rs — cell_width = 1/128; snow = corotated(1e5, 0.2)
+    + SnowPlasticity in a 0.1x0.2 cuboid at (40h, ground_shift + 0.8),
+    density 1000; sand = same block shifted +0.5 y with DruckerPrager; star =
+    corotated(1e5, 0.2) + MaximumStress(1e5) at (40h, 1.7), density 4000;
+    heightfield scale (2, 1) at (0.5, 1.5); max_num_substeps = 50."""
     e, nu = 1.0e5, 0.2
-    h = 0.1
-    nx = 20
-    heights = -np.sin(np.linspace(0.0, np.pi, nx + 1)).astype(np.float32)
+    h = 1.0 / 128.0
+    ground_shift = h * 10.0
+    n = 40
+    heights = -np.sin(np.arange(n + 1, dtype=np.float32) * np.pi / n)
     colliders = (
-        heightfield(heights, scale=(40.0, 2.0), translation=(20.0, 4.0)),
+        heightfield(heights, scale=(2.0, 1.0), translation=(0.5, 1.5)),
     )
     snow = reg.ParticleModel(
         reg.corotated_linear_elasticity(e, nu), reg.snow_plasticity()
@@ -258,33 +264,37 @@ def basic2():
         reg.drucker_prager_plasticity(e, nu),
     )
     star_model = reg.ParticleModel(
-        reg.corotated_linear_elasticity(2.0e4, 0.35),
-        reg.rankine_plasticity(2.0e4, 0.35, 1.0e2, 5.0),
+        reg.corotated_linear_elasticity(e, nu),
+        failure=reg.maximum_stress_failure(1.0e5, np.finfo(np.float32).max),
     )
     models = reg.ModelSet.pack([snow, sand, star_model])
 
     r = h / 4.0
+    cx = h * 40.0
+    cy = ground_shift + 0.8
+
+    def box_pts(hw, hh, center):
+        xs = np.arange(-hw + r, hw, 2 * r, dtype=np.float32)
+        ys = np.arange(-hh + r, hh, 2 * r, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        return np.stack([gx.reshape(-1), gy.reshape(-1)], -1) + np.asarray(
+            center, np.float32
+        )
+
+    snow_pts = box_pts(0.1, 0.2, (cx, cy))
     blocks = [
-        cube_particles((12.0, 7.0), (40, 40), 0, r, 400.0),
-        cube_particles((20.0, 7.0), (40, 40), 1, r, 1500.0),
-        _sample_polygon(
-            _star_points(1.0),
-            (28.0, 8.0),
-            2,
-            r,
-            2.0,
-            crack_propagation_factor=0.9,
-            crack_threshold=1.0,
-        ),
+        Particles.from_positions(snow_pts, 0, r, 1000.0),
+        Particles.from_positions(snow_pts + np.asarray([0.0, 0.5], np.float32), 1, r, 1000.0),
+        _sample_polygon(_star_points(h * 10.0), (cx, 1.7), 2, r, 4000.0),
     ]
     particles = Particles.concatenate(tuple(blocks))
-    grid = GridParams.for_domain((4.0, 1.0), (36.0, 12.0), h, pad=3)
+    grid = GridParams.for_domain((-0.8, 0.3), (1.8, 2.6), h, pad=3)
     return sc.SceneBundle(
         name="basic2",
         grid=grid,
         models=models,
         colliders=colliders,
         particles=particles,
-        params=SolverParameters(dt=1.0 / 60.0),
+        params=SolverParameters(dt=1.0 / 60.0, max_num_substeps=50),
         gravity=(0.0, -9.81),
     )

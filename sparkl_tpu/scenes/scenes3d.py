@@ -69,36 +69,49 @@ def sand3(nx=100, ny=50, nz=50):
 
 
 @sc.register_scene("cube_through_sand3")
-def cube_through_sand3():
-    """Kinematic block driven through a sand bed.
+def cube_through_sand3(nx=100, ny=50, nz=50):
+    """Kinematic block (kinematic_vel = 10 x̂) driven through the sand bed on
+    the sine-valley heightfield.
 
-    Ref: examples3d/cube_through_sand3.rs — a block of particles with
-    kinematic_vel pushes through DruckerPrager sand on a flat ground."""
+    Ref: examples3d/cube_through_sand3.rs — same heightfield/material as
+    sand3 (E=1e7, nu=0.2, density 2700, h=0.2); sand 100x50x50 at
+    (0, 2.6, 0); kinematic 25^3 block at (-10, 2.6, 0)."""
     e, nu = 1.0e7, 0.2
     h = 0.2
     r = h / 4.0
-    colliders = (cuboid((40.0, 2.0, 40.0), translation=(0.0, -2.0, 0.0)),)
+
+    hf_n = 40
+    i = np.arange(hf_n + 1, dtype=np.float32)
+    heights = np.broadcast_to(
+        -np.sin(i[:, None] * np.pi / hf_n), (hf_n + 1, hf_n + 1)
+    ).astype(np.float32)
+    colliders = (
+        heightfield(heights, scale=(40.0, 10.0, 40.0), translation=(0.0, 10.0, 0.0)),
+    )
 
     sand = reg.ParticleModel(
         reg.corotated_linear_elasticity(e, nu),
         reg.drucker_prager_plasticity(e, nu),
     )
-    block = reg.ParticleModel(reg.corotated_linear_elasticity(1.0e8, 0.3))
+    block = reg.ParticleModel(reg.corotated_linear_elasticity(e, nu))
     models = reg.ModelSet.pack([sand, block])
 
+    y0 = h * 3.0 + 2.0
     sand_particles = cube_particles(
-        origin=(0.0, 0.0, 0.0), counts=(60, 12, 30), model_id=0,
+        origin=(0.0, y0, 0.0), counts=(nx, ny, nz), model_id=0,
         particle_radius=r, density0=2700.0,
     )
-    kin_vel = (3.0, 0.0, 0.0)
     block_particles = cube_particles(
-        origin=(-4.0, 0.5, 1.5), counts=(10, 10, 10), model_id=1,
-        particle_radius=r, density0=8000.0,
+        origin=(-10.0, y0, 0.0), counts=(25, 25, 25), model_id=1,
+        particle_radius=r, density0=2700.0,
         kinematic_enabled=True,
-        kinematic_vel=np.asarray(kin_vel, np.float32),
+        kinematic_vel=np.asarray((10.0, 0.0, 0.0), np.float32),
     )
     particles = Particles.concatenate((sand_particles, block_particles))
-    grid = GridParams.for_domain((-6.0, -1.0, -2.0), (26.0, 6.0, 11.0), h, pad=2)
+    grid = GridParams.for_domain(
+        (-12.0, -1.0, -6.0), (nx * 2 * r + 8.0, y0 + ny * 2 * r + 2.0, nz * 2 * r + 6.0),
+        h, pad=2,
+    )
     return sc.SceneBundle(
         name="cube_through_sand3",
         grid=grid,
@@ -112,24 +125,25 @@ def cube_through_sand3():
 
 @sc.register_scene("fluids3")
 def fluids3():
-    """15.2k-particle EOS fluid blob in a box. Ref: examples3d/fluids3.rs."""
-    h = 0.2
-    r = h / 4.0
-    colliders = (
-        cuboid((40.0, 1.0, 40.0), translation=(0.0, -1.0, 0.0), friction=0.0),
-        cuboid((1.0, 40.0, 40.0), translation=(-1.0, 0.0, 0.0), friction=0.0),
-        cuboid((1.0, 40.0, 40.0), translation=(9.0, 0.0, 0.0), friction=0.0),
-        cuboid((40.0, 40.0, 1.0), translation=(0.0, 0.0, -1.0), friction=0.0),
-        cuboid((40.0, 40.0, 1.0), translation=(0.0, 0.0, 9.0), friction=0.0),
-    )
+    """15.2k-particle free-falling EOS fluid blob (no colliders).
+
+    Ref: examples3d/fluids3.rs — cell_width 0.8, particle radius 0.1 (NOT
+    h/4), p0 = 1e6, gamma 7, viscosity 1.01e-3, origin (1.6, 1.6, 1.6),
+    density 1000, fluid volume recomputation forced, no colliders (the blob
+    falls and expands under gravity)."""
+    h = 0.8
+    r = 0.1
+    colliders = ()
     models = reg.ModelSet.pack(
-        [reg.ParticleModel(reg.monaghan_sph_eos(1.0e4, 7, 1.01e-3, 1.0))]
+        [reg.ParticleModel(reg.monaghan_sph_eos(1.0e6, 7, 1.01e-3, 1.0))]
     )
     particles = cube_particles(
-        origin=(0.5, 0.5, 0.5), counts=(38, 20, 20), model_id=0,
+        origin=(1.6, 1.6, 1.6), counts=(38, 20, 20), model_id=0,
         particle_radius=r, density0=1000.0,
     )
-    grid = GridParams.for_domain((-1.0, -1.0, -1.0), (10.0, 8.0, 10.0), h, pad=2)
+    # Generous fall room below (particles leaving the grid are marked failed,
+    # matching the reference's unbounded-grid fall semantics only finitely).
+    grid = GridParams.for_domain((-8.0, -40.0, -8.0), (18.0, 8.0, 14.0), h, pad=2)
     return sc.SceneBundle(
         name="fluids3",
         grid=grid,
@@ -144,30 +158,54 @@ def fluids3():
 
 
 @sc.register_scene("sand_penetration3")
-def sand_penetration3():
-    """Sand dropped between heightfield walls.
-    Ref: examples3d/sand_penetration3.rs (4 heightfields forming a funnel)."""
+def sand_penetration3(nx=100, ny=50, nz=50):
+    """Sand column dropped through four rippled heightfield plates.
+
+    Ref: examples3d/sand_penetration3.rs — heights sin(10·pi·i/40) with
+    scale (40, 1, 40): plate at y=10, inverted plate at y=12 (rot pi about
+    x), and two vertical plates at z=+-5 (rot -+pi/2 about x); sand
+    100x50x50 (E=1e7, nu=0.2, rho=2700, h=0.2, r=h/4) dropped from
+    y = 2(3h + 2 + 50·2r) = 15.2."""
     e, nu = 1.0e7, 0.2
     h = 0.2
     r = h / 4.0
-    n = 20
+
+    n = 40
     i = np.arange(n + 1, dtype=np.float32)
-    slope = np.broadcast_to((i[:, None] / n), (n + 1, n + 1)).astype(np.float32)
+    heights = np.broadcast_to(
+        np.sin(i[:, None] * np.pi / n * 10.0), (n + 1, n + 1)
+    ).astype(np.float32)
+    scale = (40.0, 1.0, 40.0)
+
+    def rot_x(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        return np.array(
+            [[1, 0, 0], [0, c, -s], [0, s, c]], np.float32
+        )
+
     colliders = (
-        heightfield(slope, scale=(16.0, 4.0, 16.0), translation=(-8.0, 0.0, 0.0)),
-        heightfield(slope[::-1].copy(), scale=(16.0, 4.0, 16.0), translation=(8.0, 0.0, 0.0)),
-        cuboid((40.0, 1.0, 40.0), translation=(0.0, -4.0, 0.0)),
+        heightfield(heights, scale=scale, translation=(0.0, 10.0, 0.0)),
+        heightfield(heights, scale=scale, translation=(0.0, 12.0, 0.0),
+                    rotation=rot_x(np.pi)),
+        heightfield(heights, scale=scale, translation=(0.0, 0.0, 5.0),
+                    rotation=rot_x(-np.pi / 2.0)),
+        heightfield(heights, scale=scale, translation=(0.0, 0.0, -5.0),
+                    rotation=rot_x(np.pi / 2.0)),
     )
     sand = reg.ParticleModel(
         reg.corotated_linear_elasticity(e, nu),
         reg.drucker_prager_plasticity(e, nu),
     )
     models = reg.ModelSet.pack([sand])
+    y0 = 2.0 * (h * 3.0 + 2.0 + r * 2.0 * ny)
     particles = cube_particles(
-        origin=(-2.0, 6.0, -2.0), counts=(40, 40, 40), model_id=0,
+        origin=(0.0, y0, 0.0), counts=(nx, ny, nz), model_id=0,
         particle_radius=r, density0=2700.0,
     )
-    grid = GridParams.for_domain((-17.0, -4.0, -9.0), (17.0, 11.0, 9.0), h, pad=2)
+    grid = GridParams.for_domain(
+        (-8.0, -2.0, -8.0), (nx * 2 * r + 8.0, y0 + ny * 2 * r + 1.0, nz * 2 * r + 8.0),
+        h, pad=2,
+    )
     return sc.SceneBundle(
         name="sand_penetration3",
         grid=grid,

@@ -15,9 +15,9 @@ CASES = [
     ("basic2", {}),
     ("l_panel2", {}),
     ("sand3", {"nx": 16, "ny": 8, "nz": 8}),
-    ("cube_through_sand3", {}),
+    ("cube_through_sand3", {"nx": 16, "ny": 8, "nz": 8}),
     ("fluids3", {}),
-    ("sand_penetration3", {}),
+    ("sand_penetration3", {"nx": 16, "ny": 8, "nz": 8}),
 ]
 
 
