@@ -34,7 +34,9 @@ def main():
     from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
 
     if scale == "full":
-        b = scenes.build("sand3")  # 500k particles, ref examples3d/sand3.rs
+        # BASELINE.json north star: sand3 scaled to 1M particles
+        # (the reference scene is 500k: nx=100, ny=50, nz=50).
+        b = scenes.build("sand3", nx=100, ny=50, nz=100)
     else:
         n = int(scale)
         b = scenes.build("sand3", nx=n, ny=n // 2, nz=n // 2)

@@ -24,7 +24,7 @@ Algorithms:
 import jax
 import jax.numpy as jnp
 
-_JACOBI_SWEEPS = 7  # 7 sweeps x 3 rotations: off-diagonal < 1e-7 * ||A|| in f32
+_JACOBI_SWEEPS = 7  # 7 sweeps x 3 rotations (sqrt-only algebraic Givens)
 
 
 def svd2x2(f):
@@ -50,9 +50,15 @@ def svd2x2(f):
     s11 = -sr * b + cr * d
 
     # Symmetric eigendecomposition of S: S = G diag(l) G^T.
-    theta = 0.5 * jnp.arctan2(2.0 * s01, s00 - s11)
-    ct = jnp.cos(theta)
-    st = jnp.sin(theta)
+    # Algebraic Givens (see svd3x3.rotate): sqrt-only, no trig.
+    diff = s00 - s11
+    denom_ok = jnp.abs(s01) > 1e-30
+    tau = diff / jnp.where(denom_ok, 2.0 * s01, 1.0)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    t = jnp.where(denom_ok, t, 0.0)
+    ct = jax.lax.rsqrt(1.0 + t * t)
+    st = t * ct
     l0 = ct * ct * s00 + 2.0 * ct * st * s01 + st * st * s11
     l1 = st * st * s00 - 2.0 * ct * st * s01 + ct * ct * s11
 
@@ -120,9 +126,19 @@ def svd3x3(f):
     def rotate(a, v, p, q):
         r = 3 - p - q  # the untouched index
         app, aqq, apq = a[p][p], a[q][q], a[p][q]
-        theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-        c = jnp.cos(theta)
-        s = jnp.sin(theta)
+        # Algebraic Givens (Rutishauser): zeroes a_pq with only sqrt —
+        # atan2/sin/cos here cost ~60 transcendentals per SVD and made the
+        # particle update transcendental-bound on the VPU.
+        diff = app - aqq
+        denom_ok = jnp.abs(apq) > 1e-30
+        tau = diff / jnp.where(denom_ok, 2.0 * apq, 1.0)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # sign(0) = 0 would zero t for tau == 0 (a valid 45-degree rotation);
+        # force +1 there.
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(denom_ok, t, 0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = t * c
         cc, ss, cs = c * c, s * s, c * s
         new_pp = cc * app + 2.0 * cs * apq + ss * aqq
         new_qq = ss * app - 2.0 * cs * apq + cc * aqq
