@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="output dir for snapshots")
     ap.add_argument("--save-every", type=int, default=10)
     ap.add_argument("--profile", action="store_true", help="per-stage timings")
+    ap.add_argument(
+        "--render", default=None, metavar="MODE",
+        help="also write PNGs of saved frames (static/velocity/density_ratio/"
+             "position/phase/blocks)",
+    )
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
     args = ap.parse_args(argv)
 
@@ -92,6 +97,14 @@ def main(argv=None):
                 active=np.asarray(p.active),
                 failed=np.asarray(p.failed),
             )
+            if args.render:
+                from sparkl_tpu import viz
+
+                viz.render(
+                    p, os.path.join(args.out, f"frame_{frame:05d}.png"),
+                    mode=args.render, grid=b.grid,
+                    title=f"{b.name} frame {frame}",
+                )
 
     wall = time.perf_counter() - wall0
     print(

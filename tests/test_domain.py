@@ -130,3 +130,35 @@ def test_domain_migration_moves_particles():
     # at least some boundary particles changed shard.
     # (If nothing migrated the distributions would be identical.)
     assert not np.array_equal(before, after)
+
+
+def test_domain_2d_one_substep():
+    """2D slab decomposition matches single-device to roundoff."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(256, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2.0e4, 0.35))]
+    )
+    p = sk.cube_particles(
+        origin=(0.6, 1.2), counts=(220, 10), model_id=0,
+        particle_radius=0.0125, density0=1000.0,
+    )
+    rng = np.random.default_rng(1)
+    p = p.replace(
+        velocity=jnp.asarray(rng.normal(scale=0.3, size=(p.capacity, 2)), jnp.float32)
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.2)]
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    gravity = [0.0, -9.81]
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=64, max_migrants=256,
+    )
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, _ = _sorted_state(ps)
+    pos_d, vel_d, _ = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)

@@ -93,3 +93,16 @@ def test_scene_list():
         "sand_penetration3",
     ):
         assert expected in names
+
+
+def test_viz_render(tmp_path):
+    """Headless renderer: every rendering mode produces a PNG
+    (parity with ParticlesRenderingMode, testbed_plugin.rs:38-58)."""
+    from sparkl_tpu import viz
+
+    grid = sk.GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(32, 32))
+    p = sk.cube_particles((1.0, 1.0), (10, 10), 0, 0.025, 1000.0)
+    p = p.replace(velocity=p.velocity + 0.3)
+    for mode in viz.MODES:
+        out = viz.render(p, str(tmp_path / f"{mode}.png"), mode=mode, grid=grid)
+        assert os.path.getsize(out) > 1000
