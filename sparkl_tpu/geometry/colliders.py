@@ -196,6 +196,9 @@ def _project_heightfield(p, heights, scale):
     h = jnp.asarray(heights, p.dtype)
     s = jnp.asarray(scale, p.dtype)
     dim = p.shape[-1]
+    # Table lookups are one-hot reductions/matmuls instead of element gathers:
+    # XLA:TPU gathers cost ~8.5ns/element (4 per node made grid_update the
+    # second-hottest stage at sand3 scale); the tables are tiny (~41 wide).
     if dim == 2:
         nx = h.shape[0]
         # Local x in [-sx/2, sx/2] maps to [0, nx-1].
@@ -203,8 +206,11 @@ def _project_heightfield(p, heights, scale):
         u = jnp.clip(u, 0.0, nx - 1.000001)
         i0 = jnp.floor(u).astype(jnp.int32)
         fu = u - i0
-        h0 = h[i0]
-        h1 = h[jnp.minimum(i0 + 1, nx - 1)]
+        ids = jnp.arange(nx, dtype=jnp.int32)
+        oh0 = (ids == i0[..., None]).astype(p.dtype)  # [..., nx]
+        oh1 = (ids == jnp.minimum(i0 + 1, nx - 1)[..., None]).astype(p.dtype)
+        h0 = jnp.sum(oh0 * h, axis=-1)
+        h1 = jnp.sum(oh1 * h, axis=-1)
         height = (h0 * (1 - fu) + h1 * fu) * s[1]
         dhdx = (h1 - h0) * s[1] / (s[0] / (nx - 1))
         n = jnp.stack([-dhdx, jnp.ones_like(dhdx)], axis=-1)
@@ -214,35 +220,45 @@ def _project_heightfield(p, heights, scale):
         return proj, p[..., 1] < height
     else:
         nx, nz = h.shape
-        u = (p[..., 0] / s[0] + 0.5) * (nx - 1)
-        w = (p[..., 2] / s[2] + 0.5) * (nz - 1)
+        lead = p.shape[:-1]
+        pf = p.reshape(-1, 3)
+        m = pf.shape[0]
+        u = (pf[:, 0] / s[0] + 0.5) * (nx - 1)
+        w = (pf[:, 2] / s[2] + 0.5) * (nz - 1)
         u = jnp.clip(u, 0.0, nx - 1.000001)
         w = jnp.clip(w, 0.0, nz - 1.000001)
         i0 = jnp.floor(u).astype(jnp.int32)
         k0 = jnp.floor(w).astype(jnp.int32)
         fu = u - i0
         fw = w - k0
-        i1 = jnp.minimum(i0 + 1, nx - 1)
-        k1 = jnp.minimum(k0 + 1, nz - 1)
-        h00 = h[i0, k0]
-        h10 = h[i1, k0]
-        h01 = h[i0, k1]
-        h11 = h[i1, k1]
-        height = (
-            h00 * (1 - fu) * (1 - fw)
-            + h10 * fu * (1 - fw)
-            + h01 * (1 - fu) * fw
-            + h11 * fu * fw
-        ) * s[1]
+
+        ix = jnp.arange(nx, dtype=jnp.int32)
+        oh_i0 = (ix == i0[:, None]).astype(pf.dtype)  # [M, nx]
+        oh_i1 = (ix == jnp.minimum(i0 + 1, nx - 1)[:, None]).astype(pf.dtype)
+        # Rows of the table at x-index i0 / i1: [M, nz] matmuls on the MXU.
+        row0 = jnp.dot(oh_i0, h, preferred_element_type=pf.dtype)
+        row1 = jnp.dot(oh_i1, h, preferred_element_type=pf.dtype)
+        hrow = row0 * (1 - fu)[:, None] + row1 * fu[:, None]  # height along z
+        drow = row1 - row0
+
+        kz = jnp.arange(nz, dtype=jnp.int32)
+        oh_k0 = (kz == k0[:, None]).astype(pf.dtype)
+        oh_k1 = (kz == jnp.minimum(k0 + 1, nz - 1)[:, None]).astype(pf.dtype)
+        hk0 = jnp.sum(hrow * oh_k0, axis=-1)
+        hk1 = jnp.sum(hrow * oh_k1, axis=-1)
+        dk0 = jnp.sum(drow * oh_k0, axis=-1)
+        dk1 = jnp.sum(drow * oh_k1, axis=-1)
+
+        height = (hk0 * (1 - fw) + hk1 * fw) * s[1]
         dx = s[0] / (nx - 1)
         dz = s[2] / (nz - 1)
-        dhdx = ((h10 - h00) * (1 - fw) + (h11 - h01) * fw) * s[1] / dx
-        dhdz = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) * s[1] / dz
+        dhdx = (dk0 * (1 - fw) + dk1 * fw) * s[1] / dx
+        dhdz = (hk1 - hk0) * s[1] / dz
         n = jnp.stack([-dhdx, jnp.ones_like(dhdx), -dhdz], axis=-1)
         n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        sd = jnp.sum((p - jnp.stack([p[..., 0], height, p[..., 2]], axis=-1)) * n, axis=-1)
-        proj = p - sd[..., None] * n
-        return proj, p[..., 1] < height
+        sd = (pf[:, 1] - height) * n[:, 1]
+        proj = pf - sd[:, None] * n
+        return proj.reshape(lead + (3,)), (pf[:, 1] < height).reshape(lead)
 
 
 def _project_polyline(p, pts):
