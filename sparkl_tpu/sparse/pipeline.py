@@ -276,24 +276,30 @@ class SparseMpmPipeline:
                 interpret=(self.use_pallas == "interpret"),
                 with_psi=with_psi,
             )  # [D, d + d*d (+1), C]
-            vel_s = jnp.moveaxis(out[:, :dim, :], 1, -1)  # [D, C, d]
-            grad_cols = out[:, dim : dim + dim * dim, :].reshape(
-                cfg.max_chunks, dim, dim, cfg.chunk_size
-            )  # [D, j, i, C]
-            det_s = sum(grad_cols[:, j, j, :] for j in range(dim))  # [D, C]
-            grad_s = jnp.moveaxis(grad_cols, (1, 2), (2, 1))  # [D, i, j, C]
-            grad_s = jnp.moveaxis(grad_s, -1, 1)  # [D, C, i, j]
-            psi_s = (
-                out[:, dim + dim * dim, :] if with_psi else jnp.zeros_like(det_s)
+            # ONE wide row-gather back to particle order, then split fields
+            # (per-field narrow gathers cost per-row on TPU).
+            nf_out = out.shape[1]
+            rows = jnp.moveaxis(out, 1, 2).reshape(
+                cfg.max_chunks * cfg.chunk_size, nf_out
+            )
+            got = T.gather_slot_rows(cfg, structure, inv_perm, rows)  # [N, nf]
+            velocity_p = got[:, :dim]
+            grad_cols = got[:, dim : dim + dim * dim].reshape(-1, dim, dim)
+            grad_p = jnp.swapaxes(grad_cols, 1, 2)  # rows were j-major
+            det_p = sum(grad_cols[:, j, j] for j in range(dim))
+            psi_p = (
+                got[:, dim + dim * dim]
+                if with_psi
+                else jnp.zeros_like(det_p)
             )
         else:
             vel_s, grad_s, det_s, psi_s, _valid = T.g2p_from_windows(
                 grid, cfg, structure, p.position, windows,
                 group_size=self.group_size, with_psi=with_psi,
             )
-        velocity_p, grad_p, det_p, psi_p = T.scatter_slots_to_particles(
-            cfg, structure, inv_perm, vel_s, grad_s, det_s, psi_s
-        )
+            velocity_p, grad_p, det_p, psi_p = T.scatter_slots_to_particles(
+                cfg, structure, inv_perm, vel_s, grad_s, det_s, psi_s
+            )
 
         p = dense.particle_update_after_gather(
             grid,

@@ -339,6 +339,29 @@ def g2p_from_windows(
     return velocity, grad, det, psi, valid
 
 
+def slot_flat_index(cfg: BlockConfig, structure: BlockStructure, inv_perm):
+    """[N] flat chunk-slot index of every particle (original order) + mask."""
+    c = cfg.chunk_size
+    s = inv_perm
+    b = structure.sorted_block[s]
+    bsafe = jnp.clip(b, 0, cfg.max_blocks - 1)
+    rank = s - structure.block_start[bsafe]
+    chunk = structure.block_first_chunk[bsafe] + rank // c
+    slot = rank % c
+    flat = jnp.clip(chunk, 0, cfg.max_chunks - 1) * c + slot
+    ok = b >= 0
+    return jnp.where(ok, flat, 0), ok
+
+
+def gather_slot_rows(cfg: BlockConfig, structure: BlockStructure, inv_perm, slot_rows):
+    """One row-gather mapping packed slot outputs [D*C, F] back to particles
+    [N, F] (row gathers cost per-row on TPU, so one wide gather beats one
+    narrow gather per field)."""
+    flat, ok = slot_flat_index(cfg, structure, inv_perm)
+    vals = slot_rows[flat]
+    return jnp.where(ok[:, None], vals, 0.0)
+
+
 def scatter_slots_to_particles(
     cfg: BlockConfig, structure: BlockStructure, inv_perm, *slot_arrays
 ):
