@@ -11,9 +11,6 @@ The Pallas block-sparse path (sparkl_tpu.ops / sparkl_tpu.sparse) must agree
 with these functions to tolerance; tests enforce that.
 """
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,6 @@ Semantics match sparkl_tpu.solver.dense (and therefore the reference CPU
 pipeline); tests/test_sparse.py enforces dense<->sparse equivalence.
 """
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
@@ -21,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparkl_tpu.core.grid import GridParams
-from sparkl_tpu.core.params import BoundaryHandling, DamageModel, SolverParameters
+from sparkl_tpu.core.params import DamageModel, SolverParameters
 from sparkl_tpu.core.grid import GridState
 from sparkl_tpu.math import linalg
 from sparkl_tpu.math.kernel import inv_d as kernel_inv_d

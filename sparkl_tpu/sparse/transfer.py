@@ -42,12 +42,6 @@ from sparkl_tpu.sparse.blocks import (
 )
 
 
-def chunk_gather_indices(cfg: BlockConfig):
-    """[D, C] sorted-space indices of every chunk slot (garbage where invalid)."""
-    c = cfg.chunk_size
-    return None  # computed inline; kept for API symmetry
-
-
 def gather_chunks(cfg: BlockConfig, structure: BlockStructure, *arrays):
     """Gather particle arrays (original order) into chunk-slot layout [D, C, ...].
 
