@@ -78,7 +78,11 @@ class SparseMpmPipeline:
         if self._cfg is None:
             # Measure the actual distribution once (host-side) instead of
             # guessing: padded chunks cost real einsum time every substep.
-            self._cfg = B.BlockConfig.calibrate(self.grid, p.position, p.active)
+            # Generous slack: a mid-run overflow costs a full recompile
+            # (~40-60s through the remote-compile tunnel).
+            self._cfg = B.BlockConfig.calibrate(
+                self.grid, p.position, p.active, slack=2.5
+            )
         if self._jit is None:
             self._jit = jax.jit(
                 self._step_impl, donate_argnums=(0,) if self._donate else ()
