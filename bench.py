@@ -47,16 +47,12 @@ def main():
     p = b.particles
     n_active = int(np.asarray(p.num_active))
 
-    # Warmup / compile.
-    p, niter = pipe.step_with_stats(p)
-    jax.block_until_ready(p.position)
+    # Warmup / compile (whole measured span is ONE device program).
+    p, _ = pipe.run_frames(p, frames)
 
     t0 = time.perf_counter()
-    total_substeps = 0
-    for _ in range(frames):
-        p, niter = pipe.step_with_stats(p)
-        jax.block_until_ready(p.position)
-        total_substeps += int(niter)
+    p, total = pipe.run_frames(p, frames)
+    total_substeps = int(total)  # host read = sync
     elapsed = time.perf_counter() - t0
 
     pups = n_active * total_substeps / elapsed

@@ -81,7 +81,7 @@ class SparseMpmPipeline:
             # Generous slack: a mid-run overflow costs a full recompile
             # (~40-60s through the remote-compile tunnel).
             self._cfg = B.BlockConfig.calibrate(
-                self.grid, p.position, p.active, slack=2.5
+                self.grid, p.position, p.active, slack=2.0
             )
         if self._jit is None:
             self._jit = jax.jit(
@@ -394,4 +394,41 @@ class SparseMpmPipeline:
             # Capacity overflow: grow tables and retry the whole frame from
             # the saved input (ref: cuda_sparse_grid.rs regrow-and-retry).
             self._grow()
+        raise RuntimeError("block table capacity still overflowing after regrows")
+
+    def run_frames(self, particles, num_frames: int):
+        """Advance `num_frames` frames in ONE device program (a lax.scan of
+        frames around the substep while_loop) — no per-frame host round trips
+        (each costs ~26ms through a tunneled chip). Returns
+        (particles, total_substeps). Capacity overflow in any frame aborts to
+        the host regrow-retry loop with the ORIGINAL input."""
+        self._ensure_cfg(particles)
+        if not hasattr(self, "_jit_frames"):
+            self._jit_frames = {}
+        key = (num_frames, self._cfg)
+
+        def frames_fn(p):
+            def body(carry, _):
+                p, total, ov = carry
+                p, niter, ov2 = self._step_impl(p)
+                return (p, total + niter, ov | ov2), None
+
+            ov0 = jnp.asarray(False)
+            if self._pvary is not None:
+                ov0 = self._pvary(ov0)
+            (p, total, ov), _ = jax.lax.scan(
+                body, (p, jnp.asarray(0, jnp.int32), ov0), None, length=num_frames
+            )
+            return p, total, ov
+
+        if key not in self._jit_frames:
+            self._jit_frames[key] = jax.jit(frames_fn)
+        for _attempt in range(6):
+            p, total, overflow = self._jit_frames[key](particles)
+            if not bool(overflow):
+                return p, total
+            self._grow()
+            key = (num_frames, self._cfg)
+            if key not in self._jit_frames:
+                self._jit_frames[key] = jax.jit(frames_fn)
         raise RuntimeError("block table capacity still overflowing after regrows")
