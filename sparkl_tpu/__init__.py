@@ -41,6 +41,7 @@ from sparkl_tpu.geometry.colliders import (
     capsule,
     heightfield,
     polyline,
+    trimesh,
 )
 from sparkl_tpu.solver.pipeline import MpmPipeline, MpmHooks
 from sparkl_tpu.core.grid import GridParams

@@ -7,4 +7,5 @@ from sparkl_tpu.geometry.colliders import (
     capsule,
     heightfield,
     polyline,
+    trimesh,
 )

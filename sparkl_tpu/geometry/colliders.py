@@ -28,6 +28,7 @@ BALL = 2
 HEIGHTFIELD = 3
 POLYLINE = 4
 CAPSULE = 5
+TRIMESH = 6
 
 
 @dataclass(frozen=True)
@@ -67,6 +68,8 @@ class Collider:
             proj, inside = _project_polyline(p, self.data[0])
         elif self.shape_type == CAPSULE:
             proj, inside = _project_capsule(p, *self.data)
+        elif self.shape_type == TRIMESH:
+            proj, inside = _project_trimesh(p, *self.data)
         else:
             raise ValueError(f"unknown shape {self.shape_type}")
         return self.to_world(proj), inside
@@ -117,6 +120,22 @@ def heightfield(heights, scale, translation=None, rotation=None, friction=0.0, *
     dim = len(s)
     t, r = _identity_pose(dim, translation, rotation)
     return Collider(HEIGHTFIELD, (h, s), t, r, friction, **kw)
+
+
+def trimesh(vertices, triangles, translation=None, rotation=None, friction=0.0, **kw):
+    """Closed triangle mesh collider (exact point-triangle projection +
+    ray-parity containment), brute force over triangles.
+
+    Ref: gpu_collider.rs GpuColliderShape::TriMesh (parry does BVH traversal
+    on device; unused by every reference scene). Vectorized [points x tris] —
+    intended for small meshes (<= a few hundred triangles); larger meshes
+    want the round-2 spatial-hash lookup.
+    """
+    v = np.asarray(vertices, np.float32)
+    t = np.asarray(triangles, np.int64)
+    tri = v[t]  # [T, 3, 3]
+    tl, r = _identity_pose(3, translation, rotation)
+    return Collider(TRIMESH, (tri,), tl, r, friction, **kw)
 
 
 def polyline(points, translation=None, rotation=None, friction=0.0, closed=True, **kw):
@@ -290,6 +309,94 @@ def _project_polyline(p, pts):
     crossings = jnp.sum((cond & (xint > px)).astype(jnp.int32), axis=-1)
     inside = (crossings % 2) == 1
     return proj, inside
+
+
+def _project_trimesh(p, tri):
+    """Closest point on a triangle soup + even-odd ray containment.
+
+    Ericson's point-triangle closest-point regions, vectorized over
+    [..., T] pairs; inside test casts a +x ray and counts crossings
+    (mesh must be closed for containment to be meaningful)."""
+    tri = jnp.asarray(tri, p.dtype)  # [T, 3, 3]
+    lead = p.shape[:-1]
+    pf = p.reshape(-1, 1, 3)  # [M, 1, 3]
+    a, b, c = tri[None, :, 0, :], tri[None, :, 1, :], tri[None, :, 2, :]
+
+    ab = b - a
+    ac = c - a
+    ap = pf - a
+
+    d1 = jnp.sum(ab * ap, axis=-1)
+    d2 = jnp.sum(ac * ap, axis=-1)
+    bp = pf - b
+    d3 = jnp.sum(ab * bp, axis=-1)
+    d4 = jnp.sum(ac * bp, axis=-1)
+    cp = pf - c
+    d5 = jnp.sum(ab * cp, axis=-1)
+    d6 = jnp.sum(ac * cp, axis=-1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_face = jnp.maximum(va + vb + vc, 1e-30)
+    v_f = vb / denom_face
+    w_f = vc / denom_face
+    pt_face = a + v_f[..., None] * ab + w_f[..., None] * ac
+
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-30), 0.0, 1.0)
+    pt_ab = a + t_ab[..., None] * ab
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-30), 0.0, 1.0)
+    pt_ac = a + t_ac[..., None] * ac
+    t_bc = jnp.clip(
+        (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-30), 0.0, 1.0
+    )
+    pt_bc = b + t_bc[..., None] * (c - b)
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (~in_a) & (~in_b) & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (~in_a) & (~in_c) & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (~in_b) & (~in_c) & (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    pt = pt_face
+    pt = jnp.where(on_bc[..., None], pt_bc, pt)
+    pt = jnp.where(on_ac[..., None], pt_ac, pt)
+    pt = jnp.where(on_ab[..., None], pt_ab, pt)
+    pt = jnp.where(in_c[..., None], c + jnp.zeros_like(pt), pt)
+    pt = jnp.where(in_b[..., None], b + jnp.zeros_like(pt), pt)
+    pt = jnp.where(in_a[..., None], a + jnp.zeros_like(pt), pt)
+
+    d2_all = jnp.sum((pf - pt) ** 2, axis=-1)  # [M, T]
+    best = jnp.argmin(d2_all, axis=-1)
+    proj = jnp.take_along_axis(pt, best[:, None, None], axis=1)[:, 0, :]
+
+    # Containment: +x ray parity (Moller-Trumbore, direction (1,0,0)).
+    eps = 1e-12
+    e1 = ab[0]
+    e2 = ac[0]
+    # h = dir x e2 with dir = (1,0,0) -> (0, -e2z, e2y)
+    hx = jnp.zeros_like(e2[..., 0])
+    hy = -e2[..., 2]
+    hz = e2[..., 1]
+    det = e1[..., 0] * hx + e1[..., 1] * hy + e1[..., 2] * hz
+    ok = jnp.abs(det) > eps
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    sx = pf[:, 0, 0][:, None] - a[0][..., 0]
+    sy = pf[:, 0, 1][:, None] - a[0][..., 1]
+    sz = pf[:, 0, 2][:, None] - a[0][..., 2]
+    u = (sx * hx + sy * hy + sz * hz) * inv_det
+    # q = s x e1
+    qx = sy * e1[..., 2] - sz * e1[..., 1]
+    qy = sz * e1[..., 0] - sx * e1[..., 2]
+    qz = sx * e1[..., 1] - sy * e1[..., 0]
+    v = qx * inv_det  # dir . q with dir = (1,0,0)
+    t_hit = (e2[..., 0] * qx + e2[..., 1] * qy + e2[..., 2] * qz) * inv_det
+    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t_hit > 0)
+    inside = (jnp.sum(hit.astype(jnp.int32), axis=-1) % 2) == 1
+
+    return proj.reshape(lead + (3,)), inside.reshape(lead)
 
 
 @dataclass(frozen=True)

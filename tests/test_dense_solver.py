@@ -235,3 +235,30 @@ def test_gpu_velocity_clamp():
     np.testing.assert_allclose(v2[:, 0], 0.05 / dt, rtol=1e-5)
     # ALL components clamp when any exceeds (reference semantics).
     np.testing.assert_allclose(v2[:, 1], 0.05 / dt, rtol=1e-5)
+
+
+def test_trimesh_collider_matches_cuboid():
+    """A cube trimesh must agree with the analytic cuboid projection."""
+    rng = np.random.default_rng(0)
+    he = np.array([0.5, 0.4, 0.3], np.float32)
+    # 8 vertices, 12 triangles of the box [-he, he].
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    ) * he
+    # Triangles (consistent outward winding not required for parity test).
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+    ]
+    tris = []
+    for (a, b, c, d) in quads:
+        tris += [(a, b, c), (a, c, d)]
+    mesh = sk.trimesh(corners, np.asarray(tris))
+    box = sk.cuboid(he)
+
+    pts = jnp.asarray(rng.uniform(-1.0, 1.0, size=(500, 3)), jnp.float32)
+    pm, im = mesh.project_point(pts)
+    pb, ib = box.project_point(pts)
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pb), atol=1e-5)
