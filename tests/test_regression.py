@@ -21,6 +21,9 @@ from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
 GOLD = json.load(
     open(os.path.join(os.path.dirname(__file__), "golden_elasticity2.json"))
 )
+GOLD_SAND3 = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden_sand3_small.json"))
+)
 
 
 def _stats(p):
@@ -40,6 +43,22 @@ def test_elasticity2_golden_trajectory(pipeline):
     for frame, gold in enumerate(GOLD):
         p, niter = pipe.step_with_stats(p)
         assert int(niter) == gold["substeps"], f"frame {frame} substep count"
+        com, lo, hi, ke = _stats(p)
+        np.testing.assert_allclose(com, gold["com"], atol=1e-3)
+        np.testing.assert_allclose(lo, gold["pos_min"], atol=2e-3)
+        np.testing.assert_allclose(hi, gold["pos_max"], atol=2e-3)
+        np.testing.assert_allclose(ke, gold["ke"], rtol=2e-2)
+
+
+@pytest.mark.parametrize("pipeline", ["dense", "sparse"])
+def test_sand3_small_golden_trajectory(pipeline):
+    b = scenes.build("sand3", nx=12, ny=6, nz=6)
+    cls = MpmPipeline if pipeline == "dense" else SparseMpmPipeline
+    pipe = cls(b.grid, b.models, b.colliders, b.params, b.gravity)
+    p = b.particles
+    for frame, gold in enumerate(GOLD_SAND3):
+        p, niter = pipe.step_with_stats(p)
+        assert int(niter) == gold["substeps"]
         com, lo, hi, ke = _stats(p)
         np.testing.assert_allclose(com, gold["com"], atol=1e-3)
         np.testing.assert_allclose(lo, gold["pos_min"], atol=2e-3)
