@@ -41,8 +41,10 @@ def main():
         n = int(scale)
         b = scenes.build("sand3", nx=n, ny=n // 2, nz=n // 2)
 
+    # Short measured span from the initial state: tight tables (no headroom
+    # needed), maximal throughput; long production runs use the default slack.
     pipe = SparseMpmPipeline(
-        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
     )
     p = b.particles
     n_active = int(np.asarray(p.num_active))

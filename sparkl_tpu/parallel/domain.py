@@ -169,14 +169,23 @@ class DomainSparsePipeline(SparseMpmPipeline):
             self._sharded_step,
             mesh=self.mesh,
             in_specs=(P(self.axis),),
-            out_specs=(P(self.axis), P(), P()),
+            out_specs=(P(self.axis), P(), P(), P()),
         )
         self._jit = jax.jit(sharded)
 
+    def _recalibrate(self, p):
+        # Domain path: re-run the per-shard calibration (max over shards).
+        self._cfg = None
+        self._jit = None
+        self._jit_frames = {}
+        self._low_use_frames = 0
+        self._ensure_cfg(p)
+
     def _sharded_step(self, p):
-        p, niter, overflow = self._step_impl(p)
+        p, niter, overflow, peak = self._step_impl(p)
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), self.axis) > 0
-        return p, niter, overflow
+        peak = jax.lax.pmax(peak, self.axis)
+        return p, niter, overflow, peak
 
     # -- halo exchange ---------------------------------------------------------
 

@@ -140,11 +140,16 @@ class BlockConfig:
         for ax in range(1, dim):
             cand_keys = cand_keys * bspace[ax] + cand[:, ax]
         n_grid = len(np.unique(cand_keys[in_space]))
+
+        def q(x, step):
+            # Quantize capacities so recalibrations reuse compile-cache shapes.
+            return int(-(-int(x) // step) * step)
+
         return BlockConfig(
-            max_blocks=int(n_blocks * slack) + 16,
-            max_chunks=int(n_chunks * slack) + 16,
+            max_blocks=q(n_blocks * slack + 16, 256),
+            max_chunks=q(n_chunks * slack + 16, 512),
             chunk_size=c,
-            max_grid_blocks=int(n_grid * slack) + 16,
+            max_grid_blocks=q(n_grid * slack + 16, 256),
         )
 
 

@@ -46,6 +46,7 @@ class SparseMpmPipeline:
         group_size: int = 256,
         donate: bool = False,
         use_pallas=None,  # None = auto (TPU backend); "interpret" for tests
+        calibration_slack: float = 1.4,
     ):
         self.grid = grid
         self.models = models
@@ -59,6 +60,7 @@ class SparseMpmPipeline:
         self.group_size = group_size
         self._cfg = config
         self._capacity_hint = capacity_hint
+        self._calibration_slack = calibration_slack
         self._jit = None
         self._donate = donate
         if use_pallas is None:
@@ -81,7 +83,7 @@ class SparseMpmPipeline:
             # Generous slack: a mid-run overflow costs a full recompile
             # (~40-60s through the remote-compile tunnel).
             self._cfg = B.BlockConfig.calibrate(
-                self.grid, p.position, p.active, slack=2.0
+                self.grid, p.position, p.active, slack=self._calibration_slack
             )
         if self._jit is None:
             self._jit = jax.jit(
@@ -330,11 +332,11 @@ class SparseMpmPipeline:
         min_dt = params.dt / params.max_num_substeps
 
         def cond(carry):
-            _, remaining, niter, _ = carry
+            _, remaining, niter, _, _ = carry
             return (remaining > 0.0) & (niter < params.max_num_substeps)
 
         def body(carry):
-            p, remaining, niter, overflow = carry
+            p, remaining, niter, overflow, peak = carry
             p = dense.mark_out_of_grid_failed(grid, p)
 
             if self._migrate_fn is not None:
@@ -346,6 +348,7 @@ class SparseMpmPipeline:
             # substep too, mls_solver.rs:36-47).
             structure = B.build_structure(grid, self._cfg, p.position, p.active)
             inv_perm = jnp.argsort(structure.sorted_ids)
+            peak = jnp.maximum(peak, structure.num_chunks)
 
             if params.force_fluids_volume_recomputation:
                 p = self._recompute_fluids_sparse(p, structure, inv_perm)
@@ -363,21 +366,24 @@ class SparseMpmPipeline:
 
             p, ov = self._substep(p, dt, structure, inv_perm)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
-            return (p, remaining, niter + 1, overflow | ov)
+            return (p, remaining, niter + 1, overflow | ov, peak)
 
         overflow0 = jnp.asarray(False)
+        peak0 = jnp.asarray(0, jnp.int32)
         if self._pvary is not None:
-            # Under shard_map the overflow flag is device-varying; the
-            # while_loop carry must start with matching axis metadata.
+            # Under shard_map these are device-varying; the while_loop carry
+            # must start with matching axis metadata.
             overflow0 = self._pvary(overflow0)
+            peak0 = self._pvary(peak0)
         carry = (
             p,
             jnp.asarray(params.dt, jnp.float32),
             jnp.asarray(0, jnp.int32),
             overflow0,
+            peak0,
         )
-        p, _, niter, overflow = jax.lax.while_loop(cond, body, carry)
-        return p, niter, overflow
+        p, _, niter, overflow, peak = jax.lax.while_loop(cond, body, carry)
+        return p, niter, overflow, peak
 
     # -- public API -----------------------------------------------------------
 
@@ -388,13 +394,40 @@ class SparseMpmPipeline:
     def step_with_stats(self, particles):
         self._ensure_cfg(particles)
         for _attempt in range(6):
-            p, niter, overflow = self._jit(particles)
+            p, niter, overflow, peak = self._jit(particles)
             if not bool(overflow):
+                self._adapt_capacity(int(peak), p)
                 return p, niter
             # Capacity overflow: grow tables and retry the whole frame from
             # the saved input (ref: cuda_sparse_grid.rs regrow-and-retry).
             self._grow()
         raise RuntimeError("block table capacity still overflowing after regrows")
+
+    def _adapt_capacity(self, peak_chunks, p):
+        """Preemptive capacity management (the reference regrows its hashmap
+        at >50% load, cuda_sparse_grid.rs:217-221): re-calibrate from the
+        CURRENT particle distribution when chunk occupancy crosses 85%
+        (before an overflow wastes a frame) or stays under 45% for a while
+        (padding costs real compute in every per-slot stage)."""
+        cap = self._cfg.max_chunks
+        self._low_use_frames = getattr(self, "_low_use_frames", 0)
+        if peak_chunks > 0.85 * cap:
+            self._recalibrate(p)
+        elif peak_chunks < 0.45 * cap:
+            self._low_use_frames += 1
+            if self._low_use_frames >= 20:
+                self._recalibrate(p)
+        else:
+            self._low_use_frames = 0
+
+    def _recalibrate(self, p):
+        self._cfg = B.BlockConfig.calibrate(
+            self.grid, p.position, p.active, slack=self._calibration_slack
+        )
+        self._jit = None
+        self._jit_frames = {}
+        self._low_use_frames = 0
+        self._ensure_cfg(p)
 
     def run_frames(self, particles, num_frames: int):
         """Advance `num_frames` frames in ONE device program (a lax.scan of
@@ -409,23 +442,27 @@ class SparseMpmPipeline:
 
         def frames_fn(p):
             def body(carry, _):
-                p, total, ov = carry
-                p, niter, ov2 = self._step_impl(p)
-                return (p, total + niter, ov | ov2), None
+                p, total, ov, peak = carry
+                p, niter, ov2, pk = self._step_impl(p)
+                return (p, total + niter, ov | ov2, jnp.maximum(peak, pk)), None
 
             ov0 = jnp.asarray(False)
+            pk0 = jnp.asarray(0, jnp.int32)
             if self._pvary is not None:
                 ov0 = self._pvary(ov0)
-            (p, total, ov), _ = jax.lax.scan(
-                body, (p, jnp.asarray(0, jnp.int32), ov0), None, length=num_frames
+                pk0 = self._pvary(pk0)
+            (p, total, ov, peak), _ = jax.lax.scan(
+                body, (p, jnp.asarray(0, jnp.int32), ov0, pk0), None,
+                length=num_frames,
             )
-            return p, total, ov
+            return p, total, ov, peak
 
         if key not in self._jit_frames:
             self._jit_frames[key] = jax.jit(frames_fn)
         for _attempt in range(6):
-            p, total, overflow = self._jit_frames[key](particles)
+            p, total, overflow, peak = self._jit_frames[key](particles)
             if not bool(overflow):
+                self._adapt_capacity(int(peak), p)
                 return p, total
             self._grow()
             key = (num_frames, self._cfg)
