@@ -187,6 +187,51 @@ class DomainSparsePipeline(SparseMpmPipeline):
         peak = jax.lax.pmax(peak, self.axis)
         return p, niter, overflow, peak
 
+    def run_frames(self, particles, num_frames: int):
+        """Sharded multi-frame span (the inherited version would jit the
+        unsharded step; collectives need the shard_map context)."""
+        self._ensure_cfg(particles)
+        if not hasattr(self, "_jit_frames"):
+            self._jit_frames = {}
+        key = (num_frames, self._cfg)
+
+        def frames_body(p):
+            def body(carry, _):
+                p, total, ov, peak = carry
+                p, niter, ov2, pk = self._sharded_step(p)
+                return (
+                    p,
+                    total + niter,
+                    ov | ov2,
+                    jnp.maximum(peak, pk),
+                ), None
+
+            (p, total, ov, peak), _ = jax.lax.scan(
+                body,
+                (p, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32)),
+                None,
+                length=num_frames,
+            )
+            return p, total, ov, peak
+
+        if key not in self._jit_frames:
+            sharded = jax.shard_map(
+                frames_body,
+                mesh=self.mesh,
+                in_specs=(P(self.axis),),
+                out_specs=(P(self.axis), P(), P(), P()),
+            )
+            self._jit_frames[key] = jax.jit(sharded)
+        for _attempt in range(6):
+            p, total, overflow, peak = self._jit_frames[key](particles)
+            if not bool(overflow):
+                self._adapt_capacity(int(peak), p)
+                return p, total
+            self._grow()
+            key = (num_frames, self._cfg)
+        raise RuntimeError("block table capacity still overflowing after regrows")
+
     # -- halo exchange ---------------------------------------------------------
 
     def _block_col(self, keys):

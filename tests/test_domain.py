@@ -162,3 +162,18 @@ def test_domain_2d_one_substep():
     pos_d, vel_d, _ = _sorted_state(pd)
     np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
     np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+
+
+def test_domain_run_frames():
+    """Sharded multi-frame span (scan of frames inside shard_map)."""
+    grid, models, colliders, params, gravity, p = _scene()
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    pd = dom.distribute(p)
+    pd, total = dom.run_frames(pd, 2)
+    assert int(total) >= 2
+    act = np.asarray(pd.active)
+    assert np.isfinite(np.asarray(pd.position)[act]).all()
+    assert int(act.sum()) == int(np.asarray(p.active).sum())
