@@ -106,3 +106,14 @@ def test_viz_render(tmp_path):
     for mode in viz.MODES:
         out = viz.render(p, str(tmp_path / f"{mode}.png"), mode=mode, grid=grid)
         assert os.path.getsize(out) > 1000
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from sparkl_tpu.io import checkpoint
+
+    p = sk.cube_particles((0.5, 0.5), (6, 6), 0, 0.0125, 1000.0)
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, p)
+    p2 = checkpoint.load_orbax(path, p)
+    np.testing.assert_array_equal(np.asarray(p.position), np.asarray(p2.position))
+    np.testing.assert_array_equal(np.asarray(p.active), np.asarray(p2.active))
