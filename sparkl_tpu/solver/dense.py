@@ -338,9 +338,12 @@ def particle_update_after_gather(
     damage_model: DamageModel = DamageModel.NONE,
     enable_boundary_particle_projection: bool = False,
     gpu_velocity_clamp: bool = False,
+    compute_dt_bound: bool = False,
 ):
     """Particle state update given gathered grid quantities (shared by the
-    dense reference path and the block-sparse MXU path)."""
+    dense reference path and the block-sparse MXU path). With
+    compute_dt_bound, also returns the NEXT substep's per-particle dt bound
+    (saves a standalone pass over the particle arrays)."""
     is_fluid = models.is_fluid(p.model_id)
     d = p.dim
 
@@ -433,7 +436,7 @@ def particle_update_after_gather(
             )
             position = jnp.where(inside[..., None], proj, position)
 
-    return p.replace(
+    out = p.replace(
         position=position,
         velocity=velocity,
         velocity_gradient=velocity_gradient,
@@ -449,6 +452,52 @@ def particle_update_after_gather(
         parameter2=parameter2,
         failed=failed,
     )
+    if compute_dt_bound:
+        bound = particle_dt_bounds(
+            grid, p, models,
+            velocity=velocity, velocity_gradient=velocity_gradient,
+            failed=failed, deformation_gradient=f,
+            elastic_hardening=elastic_hardening, phase=phase,
+        )
+        return out, bound
+    return out
+
+
+def particle_dt_bounds(grid: GridParams, p, models: registry.ModelSet,
+                       velocity=None, velocity_gradient=None, failed=None,
+                       deformation_gradient=None, elastic_hardening=None,
+                       phase=None):
+    """Per-particle dt bound [N] (velocity/APIC + constitutive), inf where
+    inactive. Overridable fields let the particle-update stage compute the
+    NEXT substep's bounds from its freshly-updated state without a second
+    pass over the particle arrays. Ref: timestep_estimator.rs."""
+    h = grid.cell_width
+    d_coeff = (h * h) / 4.0
+    dim = p.dim
+    velocity = p.velocity if velocity is None else velocity
+    velocity_gradient = (
+        p.velocity_gradient if velocity_gradient is None else velocity_gradient
+    )
+    failed = p.failed if failed is None else failed
+    f = p.deformation_gradient if deformation_gradient is None else deformation_gradient
+    eh = p.elastic_hardening if elastic_hardening is None else elastic_hardening
+    phase = p.phase if phase is None else phase
+
+    norm_b = d_coeff * jnp.sqrt(
+        jnp.sum(velocity_gradient * velocity_gradient, axis=(-2, -1))
+    )
+    apic_v = norm_b * 6.0 * np.sqrt(dim) / h
+    v = jnp.linalg.norm(velocity, axis=-1) + apic_v
+    vel_bound = h / jnp.maximum(v, 1e-20)
+    vel_bound = jnp.where(v > 0.0, vel_bound, jnp.inf)
+
+    con_bound = registry.timestep_bound(
+        models, p.model_id, phase, eh, f, p.mass, p.volume0, velocity, h,
+    )
+    con_bound = jnp.where(failed, jnp.inf, con_bound)
+
+    bound = jnp.minimum(vel_bound, con_bound)
+    return jnp.where(p.active, bound, jnp.inf)
 
 
 def adaptive_timestep(grid: GridParams, p, models: registry.ModelSet, max_dt):
@@ -456,34 +505,7 @@ def adaptive_timestep(grid: GridParams, p, models: registry.ModelSet, max_dt):
 
     Ref: timestep_estimator.rs `adaptive_timestep_length`.
     """
-    h = grid.cell_width
-    d_coeff = (h * h) / 4.0
-    dim = p.dim
-
-    norm_b = d_coeff * jnp.sqrt(
-        jnp.sum(p.velocity_gradient * p.velocity_gradient, axis=(-2, -1))
-    )
-    apic_v = norm_b * 6.0 * np.sqrt(dim) / h
-    v = jnp.linalg.norm(p.velocity, axis=-1) + apic_v
-    vel_bound = h / jnp.maximum(v, 1e-20)
-    vel_bound = jnp.where(v > 0.0, vel_bound, jnp.inf)
-
-    con_bound = registry.timestep_bound(
-        models,
-        p.model_id,
-        p.phase,
-        p.elastic_hardening,
-        p.deformation_gradient,
-        p.mass,
-        p.volume0,
-        p.velocity,
-        h,
-    )
-    con_bound = jnp.where(p.failed, jnp.inf, con_bound)
-
-    dt = jnp.minimum(jnp.minimum(vel_bound, con_bound), max_dt)
-    dt = jnp.where(p.active, dt, jnp.inf)
-    return jnp.min(dt)
+    return jnp.minimum(jnp.min(particle_dt_bounds(grid, p, models)), max_dt)
 
 
 def recompute_fluids_volumes(grid: GridParams, p, models: registry.ModelSet, reduce_fn=None):
