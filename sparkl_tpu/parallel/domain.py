@@ -187,9 +187,20 @@ class DomainSparsePipeline(SparseMpmPipeline):
         peak = jax.lax.pmax(peak, self.axis)
         return p, niter, overflow, peak
 
-    def run_frames(self, particles, num_frames: int):
+    def run_frames(
+        self, particles, num_frames: int, frames_per_launch: int | None = None
+    ):
         """Sharded multi-frame span (the inherited version would jit the
         unsharded step; collectives need the shard_map context)."""
+        if frames_per_launch is not None and frames_per_launch < num_frames:
+            total = 0
+            done = 0
+            while done < num_frames:
+                k = min(frames_per_launch, num_frames - done)
+                particles, t = self.run_frames(particles, k)
+                total += int(t)
+                done += k
+            return particles, total
         self._ensure_cfg(particles)
         if not hasattr(self, "_jit_frames"):
             self._jit_frames = {}

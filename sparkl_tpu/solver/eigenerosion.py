@@ -14,9 +14,14 @@ import jax.numpy as jnp
 from sparkl_tpu.core.grid import GridParams
 
 
-def evolve_eigenerosion(grid: GridParams, p, max_per_cell: int = 16):
+def evolve_eigenerosion(grid: GridParams, p, max_per_cell: int | None = None):
     from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
 
+    if max_per_cell is None:
+        # Seeding is 2 particles per cell axis (4/cell 2D, 8/cell 3D); 2x
+        # headroom for compression. The [N, 3^d * L] candidate gathers are the
+        # whole cost of this pass, so L is kept as tight as safety allows.
+        max_per_cell = 8 if p.position.shape[1] == 2 else 16
     eligible = (
         (p.crack_propagation_factor != 0.0) & (p.phase > 0.0) & ~p.failed & p.active
     )

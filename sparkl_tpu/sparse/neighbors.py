@@ -5,8 +5,8 @@ TPU-first replacement for the reference's sorted particle ranges per cell
 ranges consumed by eigenerosion.rs). Instead of variable-length ranges we
 build a [num_cells, max_per_cell] bucket table with a counting-sort rank;
 overflowing particles are dropped from *neighbor enumeration* (never from the
-simulation itself) — with MPM's ~2-per-axis seeding, max_per_cell=16 is far
-above the packing the reference ever sees.
+simulation itself) — with MPM's ~2-per-axis seeding (4/cell 2D, 8/cell 3D),
+2x headroom covers the packing the reference ever sees.
 """
 
 import jax.numpy as jnp
@@ -63,18 +63,31 @@ def neighbor_pair_sums(
     values,
     include_mask,
     radius,
-    max_per_cell: int = 16,
+    max_per_cell: int = 8,
 ):
     """For each particle i: sum over j != i of values[j] where
     |x_i - x_j| <= radius, both include_mask, j within the 3^d cell
     neighborhood. Returns [N, V].
+
+    Cost is dominated by the [N, 3^d * L] candidate lookups (per-row gather
+    cost on TPU), so candidates carry ONE packed row [id | pos | vals] and L
+    defaults to 8 (MPM seeds 2 particles per cell axis = <= 4/cell in 2D,
+    8/cell in 3D; overflowing slots drop from *pooling only*).
     """
     n, d = position.shape
+    v = values.shape[1]
     k = max_per_cell
     buckets, ix, ok = build_buckets(grid, position, include_mask, k)
 
+    # Packed candidate payload [N + 1, 1 + d + V]: id, position, values; the
+    # trailing row backs empty slots (id -1).
+    ids_f = jnp.arange(n, dtype=jnp.float32)
+    packed = jnp.concatenate([ids_f[:, None], position, values], axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.full((1, 1 + d + v), -1.0, packed.dtype)], axis=0
+    )
+
     offsets = jnp.asarray(stencil_offsets(d) - 1, jnp.int32)  # {-1,0,1}^d
-    n_off = offsets.shape[0]
 
     nbr_cells = ix[:, None, :] + offsets[None, :, :]  # [N, O, d]
     res = jnp.asarray(grid.res, jnp.int32)
@@ -83,16 +96,17 @@ def neighbor_pair_sums(
 
     slot_base = nbr_flat * k  # [N, O]
     slots = slot_base[..., None] + jnp.arange(k, dtype=jnp.int32)  # [N, O, K]
-    cand = buckets[slots.reshape(n, -1)]  # [N, O*K]
-    cand_valid = (cand >= 0) & nbr_ok[..., None].repeat(k, axis=-1).reshape(n, -1)
+    cand_id = buckets[slots.reshape(n, -1)]  # [N, O*K] (row gather #1: ids)
+    row = jnp.where(cand_id >= 0, cand_id, n)
+    cand = packed[row]  # [N, O*K, 1+d+V] (row gather #2: everything else)
 
+    cand_valid = (cand_id >= 0) & nbr_ok[..., None].repeat(k, axis=-1).reshape(n, -1)
     self_id = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cand_valid = cand_valid & (cand != self_id)
+    cand_valid = cand_valid & (cand_id != self_id)
 
-    cand_safe = jnp.maximum(cand, 0)
-    cand_pos = position[cand_safe]  # [N, O*K, d]
+    cand_pos = cand[..., 1 : 1 + d]
     dist2 = jnp.sum((cand_pos - position[:, None, :]) ** 2, axis=-1)
-    cand_valid = cand_valid & (dist2 <= radius * radius) & include_mask[:, None] & ok[:, None]
-
-    cand_vals = values[cand_safe]  # [N, O*K, V]
-    return jnp.sum(cand_vals * cand_valid[..., None], axis=1)
+    cand_valid = (
+        cand_valid & (dist2 <= radius * radius) & include_mask[:, None] & ok[:, None]
+    )
+    return jnp.sum(cand[..., 1 + d :] * cand_valid[..., None], axis=1)

@@ -429,12 +429,30 @@ class SparseMpmPipeline:
         self._low_use_frames = 0
         self._ensure_cfg(p)
 
-    def run_frames(self, particles, num_frames: int):
+    def run_frames(
+        self, particles, num_frames: int, frames_per_launch: int | None = None
+    ):
         """Advance `num_frames` frames in ONE device program (a lax.scan of
         frames around the substep while_loop) — no per-frame host round trips
         (each costs ~26ms through a tunneled chip). Returns
         (particles, total_substeps). Capacity overflow in any frame aborts to
-        the host regrow-retry loop with the ORIGINAL input."""
+        the host regrow-retry loop with the ORIGINAL input.
+
+        `frames_per_launch` splits the span into several device programs of at
+        most that many frames (all chunks share one compiled shape). Use it
+        when a single program would run for minutes — remote/tunneled runtimes
+        enforce per-execution RPC deadlines (observed worker restarts past
+        ~90s on the tunneled v5e), and it bounds recompile waste when adaptive
+        capacity regrows mid-span."""
+        if frames_per_launch is not None and frames_per_launch < num_frames:
+            total = 0
+            done = 0
+            while done < num_frames:
+                k = min(frames_per_launch, num_frames - done)
+                particles, t = self.run_frames(particles, k)
+                total += int(t)
+                done += k
+            return particles, total
         self._ensure_cfg(particles)
         if not hasattr(self, "_jit_frames"):
             self._jit_frames = {}
