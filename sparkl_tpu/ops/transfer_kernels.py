@@ -187,7 +187,17 @@ def _p2g_kernel(grid, dim, with_psi, slots_ref, out_ref):
     out_ref[0] = jnp.concatenate(out_parts, axis=0)
 
 
-def p2g_windows_pallas(grid: GridParams, cfg, slot_data, interpret=False, with_psi=True):
+def _out_shape(shape, vma):
+    # Inside shard_map, pallas_call outputs must declare how they vary over
+    # the mesh (check_vma): the caller passes its mesh axis names via `vma`.
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
+def p2g_windows_pallas(
+    grid: GridParams, cfg, slot_data, interpret=False, with_psi=True, vma=None
+):
     """slot_data [D, NF_IN, C] -> window images [D, 1+d(+2), 8^d]."""
     dim = grid.dim
     c = cfg.chunk_size
@@ -204,7 +214,7 @@ def p2g_windows_pallas(grid: GridParams, cfg, slot_data, interpret=False, with_p
             pl.BlockSpec((1, nf_in, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((1, nf, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d_, nf, rc), jnp.float32),
+        out_shape=_out_shape((d_, nf, rc), vma),
         interpret=interpret,
     )(slot_data)
 
@@ -232,7 +242,9 @@ def _g2p_kernel(grid, dim, with_psi, slots_ref, win_ref, out_ref):
     out_ref[0] = jnp.concatenate(parts, axis=0)
 
 
-def g2p_windows_pallas(grid: GridParams, cfg, slot_data, windows, interpret=False, with_psi=True):
+def g2p_windows_pallas(
+    grid: GridParams, cfg, slot_data, windows, interpret=False, with_psi=True, vma=None
+):
     """windows [D, d(+1), 8^d] (velocity [+ psi ratio]) -> slot outputs
     [D, d + d*d (+1), C]; rows = [vel(d), grad cols j-major (d*d)[, psi]]."""
     dim = grid.dim
@@ -254,6 +266,6 @@ def g2p_windows_pallas(grid: GridParams, cfg, slot_data, windows, interpret=Fals
         out_specs=pl.BlockSpec(
             (1, nf_out, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((d_, nf_out, c), jnp.float32),
+        out_shape=_out_shape((d_, nf_out, c), vma),
         interpret=interpret,
     )(slot_data, windows)

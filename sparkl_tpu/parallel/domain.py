@@ -100,6 +100,9 @@ class DomainSparsePipeline(SparseMpmPipeline):
         self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.axis)
         self._migrate_fn = self._migrate
         self._pvary = lambda x: jax.lax.pcast(x, (self.axis,), to="varying")
+        # pallas_call outputs inside shard_map must declare their mesh-axis
+        # variance explicitly (ShapeDtypeStruct vma under check_vma).
+        self._kernel_vma = (self.axis,)
 
     # -- shard helpers --------------------------------------------------------
 

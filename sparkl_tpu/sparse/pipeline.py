@@ -73,6 +73,7 @@ class SparseMpmPipeline:
         self._dt_reduce = None     # dt -> dt  (e.g. lax.pmin)
         self._migrate_fn = None    # particles -> (particles, overflow_bool)
         self._pvary = None         # mark a scalar as device-varying (shard_map)
+        self._kernel_vma = None    # mesh axes pallas outputs vary over
 
     # -- capacity management (host-side regrow & retry) ----------------------
 
@@ -202,6 +203,7 @@ class SparseMpmPipeline:
                 grid, cfg, slot_data,
                 interpret=(self.use_pallas == "interpret"),
                 with_psi=with_psi,
+                vma=self._kernel_vma,
             )
         else:
             slot_data = None
@@ -279,6 +281,7 @@ class SparseMpmPipeline:
                 grid, cfg, slot_data, windows,
                 interpret=(self.use_pallas == "interpret"),
                 with_psi=with_psi,
+                vma=self._kernel_vma,
             )  # [D, d + d*d (+1), C]
             # ONE wide row-gather back to particle order, then split fields
             # (per-field narrow gathers cost per-row on TPU).
