@@ -163,7 +163,12 @@ class DomainSparsePipeline(SparseMpmPipeline):
             self._ensure_cfg_jit_only()
 
     def _grow(self, factor=1.6):
+        # The overflow bit is shared between the block tables, the halo-row
+        # buffer, and the migration buffer (they are all fixed-capacity) —
+        # grow all three, since the flag does not say which one tripped.
         super()._grow(factor)
+        self.max_halo_blocks = int(self.max_halo_blocks * factor) + 64
+        self.max_migrants = int(self.max_migrants * factor) + 64
         self._jit = None
         self._ensure_cfg_jit_only()
 

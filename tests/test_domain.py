@@ -177,3 +177,22 @@ def test_domain_run_frames():
     act = np.asarray(pd.active)
     assert np.isfinite(np.asarray(pd.position)[act]).all()
     assert int(act.sum()) == int(np.asarray(p.active).sum())
+
+
+def test_domain_migration_overflow_regrows():
+    """A migration burst beyond max_migrants must trip the shared overflow
+    bit and recover via the host regrow-retry loop (which must grow the
+    halo/migration buffers, not just the block tables)."""
+    grid, models, colliders, params, gravity, p = _scene()
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=64, max_migrants=2,  # deliberately far too small
+    )
+    pd = dom.distribute(p)
+    n0 = int(np.asarray(pd.active).sum())
+    for _ in range(4):  # +x drift pushes boundary particles across slabs
+        pd, _ = dom.step_with_stats(pd)
+    assert dom.max_migrants > 2  # the regrow path actually grew the buffer
+    act = np.asarray(pd.active)
+    assert int(act.sum()) == n0  # no particles lost or duplicated
+    assert np.isfinite(np.asarray(pd.position)[act]).all()
