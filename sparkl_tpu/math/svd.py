@@ -32,10 +32,20 @@ def svd2x2(f):
 
     s >= 0 always; det(u)*det(v) = sign(det f).
     """
-    a = f[..., 0, 0]
-    b = f[..., 0, 1]
-    c = f[..., 1, 0]
-    d = f[..., 1, 1]
+    u, s, v = svd2x2_c([[f[..., 0, 0], f[..., 0, 1]], [f[..., 1, 0], f[..., 1, 1]]])
+    return _pack2(u), jnp.stack(s, axis=-1), _pack2(v)
+
+
+def _pack2(rows):
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def svd2x2_c(f):
+    """Component-wise SVD core on a nested-list 2x2 matrix (same math as
+    svd2x2; usable inside Pallas kernels). Returns (u, s, v) as nested
+    lists / a list of 2 singular values."""
+    a, b = f[0][0], f[0][1]
+    c, d = f[1][0], f[1][1]
 
     # Polar decomposition F = R S with R a rotation (closed form, 2x2).
     x = a + d
@@ -79,14 +89,7 @@ def svd2x2(f):
     u01 = u01 * sign1
     u11 = u11 * sign1
 
-    u = jnp.stack(
-        [jnp.stack([u00, u01], axis=-1), jnp.stack([u10, u11], axis=-1)], axis=-2
-    )
-    v = jnp.stack(
-        [jnp.stack([v00, v01], axis=-1), jnp.stack([v10, v11], axis=-1)], axis=-2
-    )
-    s = jnp.stack([s0, s1], axis=-1)
-    return u, s, v
+    return [[u00, u01], [u10, u11]], [s0, s1], [[v00, v01], [v10, v11]]
 
 
 def svd3x3(f):
@@ -100,10 +103,20 @@ def svd3x3(f):
     scatters/layout shuffles in a batched setting (measured ~200x slower than
     this formulation at 50k particles).
     """
-    dtype = f.dtype
-    f00, f01, f02 = f[..., 0, 0], f[..., 0, 1], f[..., 0, 2]
-    f10, f11, f12 = f[..., 1, 0], f[..., 1, 1], f[..., 1, 2]
-    f20, f21, f22 = f[..., 2, 0], f[..., 2, 1], f[..., 2, 2]
+    fc = [[f[..., i, j] for j in range(3)] for i in range(3)]
+    u, s, v = svd3x3_c(fc)
+    stack = lambda rows: jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
+    return stack(u), jnp.stack(s, axis=-1), stack(v)
+
+
+def svd3x3_c(f):
+    """Component-wise SVD core on a nested-list 3x3 matrix (same math as
+    svd3x3; usable inside Pallas kernels)."""
+    f00, f01, f02 = f[0][0], f[0][1], f[0][2]
+    f10, f11, f12 = f[1][0], f[1][1], f[1][2]
+    f20, f21, f22 = f[2][0], f[2][1], f[2][2]
 
     # A = F^T F (symmetric): 6 unique components.
     a00 = f00 * f00 + f10 * f10 + f20 * f20
@@ -277,20 +290,83 @@ def svd3x3(f):
     sgn = jnp.where(sgn < 0.0, -1.0, 1.0)
     u2 = scale3(u2d, sgn)
 
-    def stack_mat(c0, c1, c2):
-        return jnp.stack(
-            [
-                jnp.stack([c0[0], c1[0], c2[0]], axis=-1),
-                jnp.stack([c0[1], c1[1], c2[1]], axis=-1),
-                jnp.stack([c0[2], c1[2], c2[2]], axis=-1),
-            ],
-            axis=-2,
-        )
+    def cols_to_rows(c0, c1, c2):
+        return [[c0[i], c1[i], c2[i]] for i in range(3)]
 
-    u = stack_mat(u0, u1, u2)
-    vout = stack_mat(cols[0], cols[1], cols[2])
-    s = jnp.stack([s0, s1, s2], axis=-1)
-    return u, s, vout
+    return (
+        cols_to_rows(u0, u1, u2),
+        [s0, s1, s2],
+        cols_to_rows(cols[0], cols[1], cols[2]),
+    )
+
+
+def svd_c(f):
+    """Component-core dispatch on nested-list size (2 or 3)."""
+    if len(f) == 2:
+        return svd2x2_c(f)
+    return svd3x3_c(f)
+
+
+def sym_eigvals2x2_c(m):
+    """Eigenvalues of a symmetric 2x2 nested-list matrix (closed form)."""
+    a, b, c = m[0][0], m[0][1], m[1][1]
+    mean = 0.5 * (a + c)
+    r = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    return [mean - r, mean + r]
+
+
+def sym_eigvals3x3_c(m):
+    """Eigenvalues of a symmetric 3x3 nested-list matrix via cyclic Jacobi.
+
+    Unordered, possibly negative (unlike svd singular values). Used by the
+    maximum-stress failure model inside the fused kernels, where the trig
+    closed form (arccos) of math/linalg.py is unavailable.
+    """
+    a00, a11, a22 = m[0][0], m[1][1], m[2][2]
+    a01, a02, a12 = m[0][1], m[0][2], m[1][2]
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)), jnp.abs(a22)), 1e-30
+    )
+    inv = 1.0 / scale
+    a00, a11, a22 = a00 * inv, a11 * inv, a22 * inv
+    a01, a02, a12 = a01 * inv, a02 * inv, a12 * inv
+
+    def rot(a, p, q):
+        r = 3 - p - q
+        app, aqq, apq = a[p][p], a[q][q], a[p][q]
+        diff = app - aqq
+        denom_ok = jnp.abs(apq) > 1e-30
+        tau = diff / jnp.where(denom_ok, 2.0 * apq, 1.0)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(denom_ok, t, 0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = t * c
+        cc, ss, cs = c * c, s * s, c * s
+        new_pp = cc * app + 2.0 * cs * apq + ss * aqq
+        new_qq = ss * app - 2.0 * cs * apq + cc * aqq
+        arp, arq = a[r][p], a[r][q]
+        new_rp = c * arp + s * arq
+        new_rq = -s * arp + c * arq
+        a[p][p], a[q][q] = new_pp, new_qq
+        a[p][q] = jnp.zeros_like(apq)
+        a[q][p] = a[p][q]
+        a[r][p] = a[p][r] = new_rp
+        a[r][q] = a[q][r] = new_rq
+        return a
+
+    def sweep(_, carry):
+        a00, a01, a02, a11, a12, a22 = carry
+        a = [[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]]
+        a = rot(a, 0, 1)
+        a = rot(a, 0, 2)
+        a = rot(a, 1, 2)
+        return (a[0][0], a[0][1], a[0][2], a[1][1], a[1][2], a[2][2])
+
+    carry = jax.lax.fori_loop(
+        0, _JACOBI_SWEEPS, sweep, (a00, a01, a02, a11, a12, a22)
+    )
+    return [carry[0] * scale, carry[3] * scale, carry[5] * scale]
 
 
 def svd(f):

@@ -15,9 +15,10 @@ Reference semantics:
 
 import jax.numpy as jnp
 
+from sparkl_tpu.math import cmat
 from sparkl_tpu.math import linalg
 from sparkl_tpu.math import matops
-from sparkl_tpu.math.svd import svd
+from sparkl_tpu.math.svd import svd, svd_c
 
 # Constitutive type codes (stable ABI for the model tables / checkpoints).
 COROTATED = 0
@@ -42,26 +43,33 @@ def corotated_kirchhoff_stress(lam, mu, split_on_failure, phase, hardening, f):
     branch there equals the split form with phase_coeff = 1, so a single
     branch-free expression suffices.
     """
-    d = f.shape[-1]
-    j = linalg.det(f)
-    u, s, v = svd(f)
-    sm1 = s - 1.0
-
-    pos = jnp.maximum(sm1, 0.0)
-    neg = jnp.minimum(sm1, 0.0)
-    coeff = (2.0 * mu * hardening)[..., None, None]
-    pos_dev = coeff * matops.matmul_nt(_recompose(u, pos, v), f)
-    neg_dev = coeff * matops.matmul_nt(_recompose(u, neg, v), f)
-    spherical = (lam * hardening * (j - 1.0) * j)[..., None, None] * jnp.eye(
-        d, dtype=f.dtype
+    return cmat.pack(
+        corotated_kirchhoff_stress_c(
+            lam, mu, split_on_failure, phase, hardening, cmat.unpack(f)
+        )
     )
 
-    compressed = (j < 1.0)[..., None, None]
-    pos_part = jnp.where(compressed, pos_dev, pos_dev + spherical)
-    neg_part = jnp.where(compressed, neg_dev + spherical, neg_dev)
+
+def corotated_kirchhoff_stress_c(lam, mu, split_on_failure, phase, hardening, f):
+    """Component-wise core (nested-list matrices; Pallas-kernel safe)."""
+    d = len(f)
+    j = cmat.det_c(f)
+    u, s, v = svd_c(f)
+    pos = [jnp.maximum(si - 1.0, 0.0) for si in s]
+    neg = [jnp.minimum(si - 1.0, 0.0) for si in s]
+    coeff = 2.0 * mu * hardening
+    pos_dev = cmat.scale_c(cmat.matmul_nt_c(cmat.recompose_c(u, pos, v), f), coeff)
+    neg_dev = cmat.scale_c(cmat.matmul_nt_c(cmat.recompose_c(u, neg, v), f), coeff)
+    spherical = lam * hardening * (j - 1.0) * j
+
+    compressed = j < 1.0
+    sph_pos = jnp.where(compressed, 0.0, spherical)
+    sph_neg = jnp.where(compressed, spherical, 0.0)
+    pos_part = cmat.add_diag_c(pos_dev, sph_pos)
+    neg_part = cmat.add_diag_c(neg_dev, sph_neg)
 
     phase_coeff = jnp.where((split_on_failure != 0.0) & (phase == 0.0), 0.0, 1.0)
-    return pos_part * phase_coeff[..., None, None] + neg_part
+    return cmat.add_c(cmat.scale_c(pos_part, phase_coeff), neg_part)
 
 
 def corotated_elastic_energy_density(lam, mu, hardening, f):
@@ -75,10 +83,13 @@ def corotated_elastic_energy_density(lam, mu, hardening, f):
 
 def corotated_pos_energy(lam, mu, hardening, f):
     """Tensile part of the energy (for eigenerosion). Ref: `pos_energy`."""
-    j = linalg.det(f)
-    _, s, _ = svd(f)
-    pos = jnp.maximum(s - 1.0, 0.0)
-    pos_dev = mu * hardening * jnp.sum(pos * pos, axis=-1)
+    return corotated_pos_energy_c(lam, mu, hardening, cmat.unpack(f))
+
+
+def corotated_pos_energy_c(lam, mu, hardening, f):
+    j = cmat.det_c(f)
+    _, s, _ = svd_c(f)
+    pos_dev = mu * hardening * sum(jnp.maximum(si - 1.0, 0.0) ** 2 for si in s)
     spherical = lam * hardening / 2.0 * (j - 1.0) ** 2
     return jnp.where(j < 1.0, pos_dev, pos_dev + spherical)
 
@@ -88,8 +99,12 @@ def sound_speed_timestep_bound(alpha, bulk, shear, density0, velocity, cell_widt
 
     Ref: elasticity_sound_speed_timestep_bound.rs `timestep_bound`.
     """
-    c = jnp.sqrt((bulk + 4.0 / 3.0 * shear) / density0)
     vnorm = jnp.linalg.norm(velocity, axis=-1)
+    return sound_speed_timestep_bound_c(alpha, bulk, shear, density0, vnorm, cell_width)
+
+
+def sound_speed_timestep_bound_c(alpha, bulk, shear, density0, vnorm, cell_width):
+    c = jnp.sqrt((bulk + 4.0 / 3.0 * shear) / density0)
     return alpha * cell_width / jnp.maximum(vnorm, c)
 
 
@@ -115,30 +130,43 @@ def neo_hookean_kirchhoff_stress(lam, mu, phase, hardening, f):
 
     Ref: elasticity_neo_hookean.rs `kirchhoff_stress`.
     """
-    d = f.shape[-1]
-    phase_coeff = neo_hookean_phase_coeff(phase)
-    j = linalg.det(f)
-    k = 2.0 / 3.0 * mu * hardening + lam * hardening
-    cg = matops.aat(f)  # F Fᵀ
-    # J should be > 0 for valid states; guard against NaN from negative J.
-    jpow = jnp.where(j > 0.0, jnp.power(jnp.maximum(j, 1e-30), -2.0 / d), 1.0)
-    dev = (mu * hardening * jpow)[..., None, None] * linalg.deviatoric_part(cg)
-    vol = (k / 2.0 * (j * j - 1.0))[..., None, None] * jnp.eye(d, dtype=f.dtype)
+    return cmat.pack(
+        neo_hookean_kirchhoff_stress_c(lam, mu, phase, hardening, cmat.unpack(f))
+    )
 
-    expanded = (j >= 1.0)[..., None, None]
-    pos_part = jnp.where(expanded, dev + vol, dev)
-    neg_part = jnp.where(expanded, jnp.zeros_like(vol), vol)
-    return pos_part * phase_coeff[..., None, None] + neg_part
+
+def neo_hookean_kirchhoff_stress_c(lam, mu, phase, hardening, f):
+    """Component-wise core (Pallas-kernel safe; pow via exp/log)."""
+    d = len(f)
+    phase_coeff = neo_hookean_phase_coeff(phase)
+    j = cmat.det_c(f)
+    k = 2.0 / 3.0 * mu * hardening + lam * hardening
+    cg = cmat.aat_c(f)  # F Fᵀ
+    # J should be > 0 for valid states; guard against NaN from negative J.
+    jpow = jnp.where(j > 0.0, cmat.pow_pos(j, -2.0 / d), 1.0)
+    dev = cmat.scale_c(cmat.deviatoric_c(cg), mu * hardening * jpow)
+    vol = k / 2.0 * (j * j - 1.0)
+
+    expanded = j >= 1.0
+    # pos = dev (+ vol I when expanded); neg = vol I when compressed.
+    pos_part = cmat.add_diag_c(dev, jnp.where(expanded, vol, 0.0))
+    neg_diag = jnp.where(expanded, 0.0, vol)
+    out = cmat.scale_c(pos_part, phase_coeff)
+    return cmat.add_diag_c(out, neg_diag)
 
 
 def neo_hookean_pos_energy(lam, mu, phase, hardening, f):
     """Ref: elasticity_neo_hookean.rs `pos_energy` (incl. its phase quirks)."""
-    d = f.shape[-1]
+    return neo_hookean_pos_energy_c(lam, mu, phase, hardening, cmat.unpack(f))
+
+
+def neo_hookean_pos_energy_c(lam, mu, phase, hardening, f):
+    d = len(f)
     phase_coeff = neo_hookean_phase_coeff(phase)
-    j = linalg.det(f)
+    j = cmat.det_c(f)
     k = 2.0 / 3.0 * mu * hardening + lam * hardening
-    cg_trace = jnp.sum(f * f, axis=(-2, -1))
-    jpow = jnp.where(j > 0.0, jnp.power(j, -2.0 / d), 1.0)
+    cg_trace = cmat.frob2_c(f)
+    jpow = jnp.where(j > 0.0, cmat.pow_pos(j, -2.0 / d), 1.0)
     dev = hardening * mu / 2.0 * (cg_trace * jpow - d)
     safe_j = jnp.where(j > 0.0, j, 1.0)
     vol = k / 2.0 * ((j * j - 1.0) / 2.0 - jnp.log(safe_j))
@@ -161,7 +189,7 @@ def eos_pressure(pressure0, gamma, max_neg_pressure, mass, volume0, density_flui
     density0 = mass / volume0
     ratio = density_fluid / density0
     return jnp.maximum(
-        pressure0 * (jnp.power(ratio, gamma) - 1.0), -max_neg_pressure
+        pressure0 * (cmat.pow_pos(ratio, gamma) - 1.0), -max_neg_pressure
     )
 
 
@@ -177,12 +205,23 @@ def eos_kirchhoff_stress(
     velocity_gradient,
 ):
     """-p·J·I + 2µ_visc·J·dev(strain rate). Ref: eos_monaghan_sph.rs `kirchhoff_stress`."""
-    d = velocity_gradient.shape[-1]
+    return cmat.pack(
+        eos_kirchhoff_stress_c(
+            pressure0, gamma, viscosity, max_neg_pressure, mass, volume0,
+            density_fluid, fluid_j, cmat.unpack(velocity_gradient),
+        )
+    )
+
+
+def eos_kirchhoff_stress_c(
+    pressure0, gamma, viscosity, max_neg_pressure, mass, volume0,
+    density_fluid, fluid_j, velocity_gradient,
+):
     p = eos_pressure(pressure0, gamma, max_neg_pressure, mass, volume0, density_fluid)
-    stress = (-p * fluid_j)[..., None, None] * jnp.eye(d, dtype=velocity_gradient.dtype)
-    sr_dev = linalg.deviatoric_part(linalg.strain_rate(velocity_gradient))
-    visc_term = (2.0 * viscosity * fluid_j)[..., None, None] * sr_dev
-    return stress + jnp.where((viscosity != 0.0)[..., None, None], visc_term, 0.0)
+    sr_dev = cmat.deviatoric_c(cmat.strain_rate_c(velocity_gradient))
+    visc = jnp.where(viscosity != 0.0, 2.0 * viscosity * fluid_j, 0.0)
+    out = cmat.scale_c(sr_dev, visc)
+    return cmat.add_diag_c(out, -p * fluid_j)
 
 
 def eos_timestep_bound(
@@ -198,18 +237,30 @@ def eos_timestep_bound(
 ):
     """Single-particle stability + CFL bound. Ref: eos_monaghan_sph.rs `timestep_bound`."""
     d = velocity.shape[-1]
+    vsq = jnp.sum(velocity * velocity, axis=-1)
+    return eos_timestep_bound_c(
+        pressure0, gamma, max_neg_pressure, fluid_j, mass, volume0,
+        density_fluid, vsq, cell_width, d,
+    )
+
+
+def eos_timestep_bound_c(
+    pressure0, gamma, max_neg_pressure, fluid_j, mass, volume0,
+    density_fluid, velocity_sq, cell_width, dim,
+):
     j = fluid_j
     density0 = mass / volume0
     k = 6.0  # quadratic splines
     p = -eos_pressure(pressure0, gamma, max_neg_pressure, mass, volume0, density_fluid)
 
-    arg = density0 * (j - 1.0) / (k * p * d)
-    single = (cell_width / j) * jnp.sqrt(jnp.maximum(arg, 0.0))
+    arg = cmat.safe_div(density0 * (j - 1.0), k * p * dim)
+    safe_j = jnp.where(j > 0.0, j, 1.0)
+    single = (cell_width / safe_j) * jnp.sqrt(jnp.maximum(arg, 0.0))
     single = jnp.where((arg > 0.0) & (j > 0.0), single, jnp.inf)
     # NaN-free: reference relies on f32 sqrt(neg) = NaN then min() keeping the
     # other bound; we make it explicit with +inf.
 
     density_fluctuation = 0.1
-    c_sq = jnp.maximum(jnp.sum(velocity * velocity, axis=-1), 1.0) / density_fluctuation
+    c_sq = jnp.maximum(velocity_sq, 1.0) / density_fluctuation
     cfl = cell_width / jnp.sqrt(c_sq)
     return jnp.minimum(single, cfl)

@@ -4,6 +4,10 @@ All maps are vectorized and branch-free (where-selects instead of early
 returns) so one call handles a whole particle batch. Each returns the
 projected deformation gradient plus updated per-particle plastic state.
 
+Every map has a component-wise core (`*_update_c`, nested-list matrices and
+unpacked scalar params) that also runs inside the fused Pallas kernels
+(sparkl_tpu/fused); the array API wraps it.
+
 Reference semantics:
   * Drucker-Prager (sand) — sparkl
     `src_core/dynamics/models/plasticity_drucker_prager.rs:10-105`
@@ -14,8 +18,8 @@ Reference semantics:
 
 import jax.numpy as jnp
 
-from sparkl_tpu.math import matops
-from sparkl_tpu.math.svd import svd
+from sparkl_tpu.math import cmat
+from sparkl_tpu.math.svd import svd_c
 
 PLASTIC_NONE = 0
 DRUCKER_PRAGER = 1
@@ -25,12 +29,7 @@ SNOW = 4
 PLASTIC_CUSTOM_BASE = 16
 
 
-_recompose = matops.recompose
-
-
-def _safe_div(a, b, eps=1e-20):
-    good = jnp.abs(b) > eps
-    return jnp.where(good, a / jnp.where(good, b, 1.0), 0.0)
+_safe_div = cmat.safe_div
 
 
 # ---------------------------------------------------------------------------
@@ -57,42 +56,58 @@ def drucker_prager_update(
     Ref: plasticity_drucker_prager.rs `project_deformation_gradient` +
     `update_particle`.
     """
-    h0, h1, h2, h3 = params[..., 0], params[..., 1], params[..., 2], params[..., 3]
-    lam, mu = params[..., 4], params[..., 5]
-    only_when_failed = params[..., 6]
-    vol_corr = params[..., 7]
-    d = f.shape[-1]
+    fc, pdd, ph, lvg = drucker_prager_update_c(
+        [params[..., k] for k in range(8)],
+        phase,
+        cmat.unpack(f),
+        plastic_def_det,
+        plastic_hardening,
+        log_vol_gain,
+    )
+    return cmat.pack(fc), pdd, ph, lvg
 
-    u, s, v = svd(f)
+
+def drucker_prager_update_c(
+    params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain
+):
+    """Component-wise core. params = list of 8 scalars."""
+    h0, h1, h2, h3, lam, mu, only_when_failed, vol_corr = params
+    d = len(f)
+
+    u, s, v = svd_c(f)
     alpha = drucker_prager_alpha(h0, h1, h2, h3, plastic_hardening)
 
-    safe_s = jnp.maximum(s, 1e-20)
-    strain = jnp.log(safe_s) + (log_vol_gain / d)[..., None]
-    strain_trace = jnp.sum(strain, axis=-1)
-    dev = strain - (strain_trace / d)[..., None]
-    dev_norm = jnp.sqrt(jnp.sum(dev * dev, axis=-1))
+    strain = [jnp.log(jnp.maximum(si, 1e-20)) + log_vol_gain / d for si in s]
+    strain_trace = sum(strain)
+    dev = [e - strain_trace / d for e in strain]
+    dev_norm = jnp.sqrt(sum(e * e for e in dev))
 
     # Case A: zero deviatoric strain or expanding trace -> project to identity.
     case_a = (dev_norm == 0.0) | (strain_trace > 0.0)
-    dq_a = jnp.sqrt(jnp.sum(strain * strain, axis=-1))
+    dq_a = jnp.sqrt(sum(e * e for e in strain))
 
     # Case B: inside yield surface (gamma <= 0) -> no change.
     gamma = dev_norm + (d * lam + 2.0 * mu) / (2.0 * mu) * strain_trace * alpha
     case_b = (~case_a) & (gamma <= 0.0)
 
     # Case C: project onto the cone.
-    h_strain = strain - gamma[..., None] * _safe_div(dev, dev_norm[..., None])
-    s_c = jnp.exp(h_strain)
+    s_c = [
+        jnp.exp(e - gamma * _safe_div(dv, dev_norm)) for e, dv in zip(strain, dev)
+    ]
 
-    new_s = jnp.where(case_a[..., None], jnp.ones_like(s), s_c)
+    one = jnp.ones_like(s[0])
+    new_s = [jnp.where(case_a, one, sc) for sc in s_c]
     dq = jnp.where(case_a, dq_a, gamma)
 
     applied = ~case_b
     gate = (only_when_failed == 0.0) | (phase == 0.0)
     applied = applied & gate
 
-    prev_det = jnp.prod(s, axis=-1)
-    new_det0 = jnp.prod(new_s, axis=-1)
+    prev_det = s[0]
+    new_det0 = new_s[0]
+    for k in range(1, d):
+        prev_det = prev_det * s[k]
+        new_det0 = new_det0 * new_s[k]
     diff = new_det0 - prev_det
     new_det = jnp.where(diff > 0.0, new_det0, prev_det + diff * vol_corr)
 
@@ -104,8 +119,8 @@ def drucker_prager_update(
         0.0,
     )
     new_hardening = plastic_hardening + jnp.where(applied, dq, 0.0)
-    f_proj = _recompose(u, new_s, v)
-    f_new = jnp.where(applied[..., None, None], f_proj, f)
+    f_proj = cmat.recompose_c(u, new_s, v)
+    f_new = cmat.where_mat(applied, f_proj, f)
     return f_new, new_plastic_def_det, new_hardening, new_log_vol_gain
 
 
@@ -119,34 +134,42 @@ def nacc_update(params, f, nacc_alpha):
 
     Ref: plasticity_nacc.rs `project_deformation_gradient`.
     """
-    mu, kappa = params[..., 0], params[..., 1]
-    hardening_enabled = params[..., 2] != 0.0
-    xi, beta, m = params[..., 3], params[..., 4], params[..., 5]
-    d = float(f.shape[-1])
-
-    u, s, v = svd(f)
-    sq = s * s
-    sq_trace = jnp.sum(sq, axis=-1)
-
-    p0 = kappa * (1.0e-5 + jnp.sinh(xi * jnp.maximum(-nacc_alpha, 0.0)))
-    j_e_tr = jnp.prod(s, axis=-1)
-    safe_j = jnp.maximum(j_e_tr, 1e-20)
-    s_tr = (mu * jnp.power(safe_j, -2.0 / d))[..., None] * (
-        sq - (sq_trace / d)[..., None]
+    fc, na = nacc_update_c(
+        [params[..., k] for k in range(6)], cmat.unpack(f), nacc_alpha
     )
+    return cmat.pack(fc), na
+
+
+def nacc_update_c(params, f, nacc_alpha):
+    """Component-wise core. params = list of 6 scalars."""
+    mu, kappa, hardening_flag, xi, beta, m = params
+    hardening_enabled = hardening_flag != 0.0
+    d = float(len(f))
+
+    u, s, v = svd_c(f)
+    sq = [si * si for si in s]
+    sq_trace = sum(sq)
+
+    p0 = kappa * (1.0e-5 + cmat.sinh_c(xi * jnp.maximum(-nacc_alpha, 0.0)))
+    j_e_tr = s[0]
+    for si in s[1:]:
+        j_e_tr = j_e_tr * si
+    safe_j = jnp.maximum(j_e_tr, 1e-20)
+    s_tr_coeff = mu * cmat.pow_pos(safe_j, -2.0 / d)
+    s_tr = [s_tr_coeff * (q - sq_trace / d) for q in sq]
     psi_kappa = kappa / 2.0 * (j_e_tr - 1.0 / safe_j)
     p_tr = -psi_kappa * j_e_tr
 
     # Case A: p_tr > p0 -> max tip of the yield surface.
     j_a = jnp.sqrt(jnp.maximum(-2.0 * p0 / kappa + 1.0, 0.0))
-    s_a = jnp.power(jnp.maximum(j_a, 1e-20), 1.0 / d)
+    s_a = cmat.pow_pos(jnp.maximum(j_a, 1e-20), 1.0 / d)
     alpha_a = nacc_alpha + jnp.where(
         hardening_enabled, jnp.log(safe_j / jnp.maximum(j_a, 1e-20)), 0.0
     )
 
     # Case B: p_tr < -beta p0 -> min tip.
     j_b = jnp.sqrt(2.0 * beta * p0 / kappa + 1.0)
-    s_b = jnp.power(jnp.maximum(j_b, 1e-20), 1.0 / d)
+    s_b = cmat.pow_pos(jnp.maximum(j_b, 1e-20), 1.0 / d)
     alpha_b = nacc_alpha + jnp.where(
         hardening_enabled, jnp.log(safe_j / jnp.maximum(j_b, 1e-20)), 0.0
     )
@@ -154,7 +177,7 @@ def nacc_update(params, f, nacc_alpha):
     # Yield test.
     y0 = (1.0 + 2.0 * beta) * ((6.0 - d) / 2.0)
     y1 = m * m * (p_tr + beta * p0) * (p_tr - p0)
-    s_tr_norm_sq = jnp.sum(s_tr * s_tr, axis=-1)
+    s_tr_norm_sq = sum(x * x for x in s_tr)
     y = y0 * s_tr_norm_sq + y1
 
     # Case C: inside the yield surface -> unchanged.
@@ -188,33 +211,32 @@ def nacc_update(params, f, nacc_alpha):
     )
 
     s_tr_norm = jnp.sqrt(s_tr_norm_sq)
-    s_tr_unit = _safe_div(s_tr, s_tr_norm[..., None])
-    b_e_n1 = (
+    b_coeff = (
         jnp.sqrt(jnp.maximum(_safe_div(-y1, y0), 0.0))
-        * jnp.power(safe_j, 2.0 / d)
+        * cmat.pow_pos(safe_j, 2.0 / d)
         / jnp.maximum(mu, 1e-20)
-    )[..., None] * s_tr_unit + (sq_trace / d)[..., None]
-    s_d = jnp.sqrt(jnp.maximum(b_e_n1, 0.0))
+    )
+    s_d = [
+        jnp.sqrt(
+            jnp.maximum(b_coeff * _safe_div(x, s_tr_norm) + sq_trace / d, 0.0)
+        )
+        for x in s_tr
+    ]
 
     case_a = p_tr > p0
     case_b = (~case_a) & (p_tr < -beta * p0)
     case_c = (~case_a) & (~case_b) & (y < 1.0e-4)
     case_d = (~case_a) & (~case_b) & (~case_c)
 
-    new_s = jnp.where(
-        case_a[..., None],
-        s_a[..., None] * jnp.ones_like(s),
-        jnp.where(
-            case_b[..., None],
-            s_b[..., None] * jnp.ones_like(s),
-            jnp.where(case_d[..., None], s_d, s),
-        ),
-    )
+    new_s = [
+        jnp.where(case_a, s_a, jnp.where(case_b, s_b, jnp.where(case_d, sd, si)))
+        for sd, si in zip(s_d, s)
+    ]
     new_alpha = jnp.where(
         case_a, alpha_a, jnp.where(case_b, alpha_b, jnp.where(case_d, alpha_d, nacc_alpha))
     )
     changed = ~case_c
-    f_new = jnp.where(changed[..., None, None], _recompose(u, new_s, v), f)
+    f_new = cmat.where_mat(changed, cmat.recompose_c(u, new_s, v), f)
     return f_new, new_alpha
 
 
@@ -229,24 +251,48 @@ def rankine_update(params, f, plastic_hardening):
     Caps principal Hencky strains at the softened tensile strength; accumulates
     softening into plastic_hardening. Ref: plasticity_rankine.rs `update_particle`.
     """
-    mu, lam = params[..., 0], params[..., 1]
-    tensile_strength, softening_rate = params[..., 2], params[..., 3]
-    d = f.shape[-1]
+    fc, ph = rankine_update_c(
+        [params[..., k] for k in range(4)], cmat.unpack(f), plastic_hardening
+    )
+    return cmat.pack(fc), ph
 
-    u, s, v = svd(f)
-    eigv = jnp.log(jnp.maximum(s, 1e-20))  # Hencky strain eigenvalues
-    prev_eigv = eigv
 
-    # Sort ascending; work on sorted copy, then scatter back.
-    order = jnp.argsort(eigv, axis=-1)
-    inv_order = jnp.argsort(order, axis=-1)
-    es = jnp.take_along_axis(eigv, order, axis=-1)  # [e3(min) ... e1(max)]
-    e_sum = jnp.sum(eigv, axis=-1)
-    e1 = es[..., -1]
+def rankine_update_c(params, f, plastic_hardening):
+    """Component-wise core. Ascending sort + inverse scatter are done with
+    comparison networks (no argsort/take_along_axis: tiny-axis gathers are
+    pathological on TPU and unsupported in kernels)."""
+    mu, lam, tensile_strength, softening_rate = params
+    d = len(f)
+
+    u, s, v = svd_c(f)
+    eigv = [jnp.log(jnp.maximum(si, 1e-20)) for si in s]  # Hencky eigenvalues
+
+    # Stable ascending rank of each component (ties keep original order —
+    # replicates jnp.argsort used by the array formulation).
+    def rank_of(i):
+        r = jnp.zeros_like(eigv[0], dtype=jnp.int32)
+        for jj in range(d):
+            if jj == i:
+                continue
+            less = (eigv[jj] < eigv[i]) | ((eigv[jj] == eigv[i]) & (jj < i))
+            r = r + less.astype(jnp.int32)
+        return r
+
+    ranks = [rank_of(i) for i in range(d)]
+    # Sorted values es[r] (ascending), via masked sums over components.
+    es = []
+    for r in range(d):
+        val = jnp.zeros_like(eigv[0])
+        for i in range(d):
+            val = val + jnp.where(ranks[i] == r, eigv[i], 0.0)
+        es.append(val)
+
+    e_sum = sum(eigv)
+    e1 = es[-1]
     # d=3: middle value. d=2: the reference's idx list [0,1,DIM-1]=[0,1,1]
     # makes e2 alias the *smaller* eigenvalue after its sort — es[-2] matches.
-    e2 = es[..., -2]
-    e3 = es[..., 0]
+    e2 = es[-2]
+    e3 = es[0]
 
     soft = tensile_strength - (plastic_hardening - 1.0)
 
@@ -268,29 +314,35 @@ def rankine_update(params, f, plastic_hardening):
     # Case 3: uniform cap.
     new_e_c3 = soft / (2.0 * mu + 3.0 * lam)
 
-    es_c1 = es.at[..., -1].set(new_e1_c1)
-    if d == 3:
-        es_c2 = es.at[..., -1].set(new_e12_c2).at[..., -2].set(new_e12_c2)
-    else:
-        es_c2 = es
-    es_c3 = jnp.broadcast_to(new_e_c3[..., None], es.shape)
+    # Sorted new values per case.
+    es_new = []
+    for r in range(d):
+        base = es[r]
+        c1 = new_e1_c1 if r == d - 1 else base
+        if d == 3:
+            c2 = new_e12_c2 if r >= d - 2 else base
+        else:
+            c2 = base
+        val = jnp.where(
+            case0, base, jnp.where(cond1, c1, jnp.where(cond2, c2, new_e_c3))
+        )
+        es_new.append(val)
 
-    es_new = jnp.where(
-        case0[..., None],
-        es,
-        jnp.where(
-            cond1[..., None], es_c1, jnp.where(cond2[..., None], es_c2, es_c3)
-        ),
-    )
-    eigv_new = jnp.take_along_axis(es_new, inv_order, axis=-1)
+    # Scatter back: component i takes es_new[ranks[i]].
+    eigv_new = []
+    for i in range(d):
+        val = jnp.zeros_like(eigv[0])
+        for r in range(d):
+            val = val + jnp.where(ranks[i] == r, es_new[r], 0.0)
+        eigv_new.append(val)
 
-    delta = prev_eigv - eigv_new
-    dh = softening_rate * jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    delta_sq = sum((a - b) ** 2 for a, b in zip(eigv, eigv_new))
+    dh = softening_rate * jnp.sqrt(delta_sq)
     new_hardening = jnp.where(case0, plastic_hardening, plastic_hardening + dh)
     new_hardening = jnp.minimum(new_hardening, tensile_strength)
 
-    f_proj = _recompose(u, jnp.exp(eigv_new), v)
-    f_new = jnp.where(case0[..., None, None], f, f_proj)
+    f_proj = cmat.recompose_c(u, [jnp.exp(e) for e in eigv_new], v)
+    f_new = cmat.where_mat(case0, f, f_proj)
     return f_new, new_hardening
 
 
@@ -305,15 +357,25 @@ def snow_update(params, f, elastic_hardening, plastic_def_det):
     Clamps singular values to [1-θc, 1+θs] and applies exponential hardening
     e^(ξ(1-J_p)). Ref: plasticity_snow.rs `update_particle`.
     """
-    min_eps, max_eps, hard_coeff = params[..., 0], params[..., 1], params[..., 2]
+    fc, eh, pdd = snow_update_c(
+        [params[..., k] for k in range(3)],
+        cmat.unpack(f),
+        elastic_hardening,
+        plastic_def_det,
+    )
+    return cmat.pack(fc), eh, pdd
 
-    u, s, v = svd(f)
-    new_s = jnp.clip(
-        s, (1.0 - min_eps)[..., None], (1.0 + max_eps)[..., None]
-    )
-    new_plastic_def_det = plastic_def_det * _safe_div(
-        jnp.prod(s, axis=-1), jnp.prod(new_s, axis=-1)
-    )
+
+def snow_update_c(params, f, elastic_hardening, plastic_def_det):
+    min_eps, max_eps, hard_coeff = params
+    u, s, v = svd_c(f)
+    new_s = [jnp.clip(si, 1.0 - min_eps, 1.0 + max_eps) for si in s]
+    prod_s = s[0]
+    prod_new = new_s[0]
+    for k in range(1, len(s)):
+        prod_s = prod_s * s[k]
+        prod_new = prod_new * new_s[k]
+    new_plastic_def_det = plastic_def_det * _safe_div(prod_s, prod_new)
     new_elastic_hardening = jnp.exp(hard_coeff * (1.0 - new_plastic_def_det))
-    f_new = _recompose(u, new_s, v)
+    f_new = cmat.recompose_c(u, new_s, v)
     return f_new, new_elastic_hardening, new_plastic_def_det
