@@ -1,0 +1,622 @@
+"""Fused Pallas substep kernels over persistent slot state.
+
+The TPU counterpart of the reference's single fused g2p2g CUDA kernel
+(ref: sparkl `src_kernels/cuda/g2p2g.rs:64-553` + the full particle physics
+in `src_kernels/cuda/particle_updater.rs:72-236`). Split into two kernels at
+the grid-update barrier — the reference rotates its substep loop so gather
+and scatter share one kernel across that barrier, which changes first-substep
+semantics; keeping the CPU pipeline's stage order (P2G -> grid update -> G2P,
+ref `src/dynamics/solver/mls_solver.rs:36-130`) costs one extra pass over
+slot state (~0.5 ms/1M at HBM bandwidth) and keeps trajectories identical to
+the reference CPU semantics that the test suite pins:
+
+  * p2g_fused — constitutive Kirchhoff stress (with SVD), APIC affine, psi
+    channels, and the 8^d window scatter images, all in VMEM.
+  * g2p_fused — window gather, advection, F update, plastic return maps,
+    failure guards + failure model, pos-energy, and the NEXT substep's dt
+    bound, writing the new slot tensor in one pass.
+
+All per-particle math runs on [1, C] rows via the component-wise cores in
+models/ (the same code tested against the array implementations); matrices
+never materialize trailing small dims.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.math import cmat
+from sparkl_tpu.math.kernel import inv_d as kernel_inv_d
+from sparkl_tpu.models import constitutive as con
+from sparkl_tpu.models import failure as fail
+from sparkl_tpu.models import plasticity as plas
+from sparkl_tpu.sparse.blocks import region_cells, region_side
+from sparkl_tpu.fused import layout as L
+
+# Packed model-table columns (SMEM): f32 [M, 16] = cparams(0:4) | pparams(4:12)
+# | fparams(12:14); i32 [M, 4] = ctype | ptype | ftype | pad.
+TAB_C = 0
+TAB_P = 4
+TAB_F = 12
+
+
+def pack_model_tables(models):
+    """ModelSet -> (tab_f32 [M, 16], tab_i32 [M, 4]) for SMEM prefetch."""
+    tab_f = jnp.concatenate([models.cparams, models.pparams, models.fparams], axis=1)
+    tab_i = jnp.stack(
+        [models.ctype, models.ptype, models.ftype, jnp.zeros_like(models.ctype)],
+        axis=1,
+    )
+    return tab_f.astype(jnp.float32), tab_i.astype(jnp.int32)
+
+
+def _out_shape(shape, dtype, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _row(data, i):
+    return data[i : i + 1, :]
+
+
+def _mat(data, base, d):
+    return [[_row(data, base + i * d + j) for j in range(d)] for i in range(d)]
+
+
+def _select_param(tab_ref, mid, m_count, col):
+    """Per-slot parameter [1, C]: masked blend over the model table rows."""
+    acc = jnp.zeros(mid.shape, jnp.float32)
+    for m in range(m_count):
+        acc = jnp.where(mid == m, tab_ref[m, col], acc)
+    return acc
+
+
+def _select_itype(tab_ref, mid, m_count, col):
+    acc = jnp.zeros(mid.shape, jnp.int32)
+    for m in range(m_count):
+        acc = jnp.where(mid == m, tab_ref[m, col], acc)
+    return acc
+
+
+def _window_weights(grid: GridParams, data, iref, dim):
+    """Per-axis window weights/dpt from slot positions + chunk origin rows.
+
+    Weight placement uses the particle's base cell RELATIVE TO THE CHUNK'S
+    window origin (int rows written at sort time) — valid for +-1 cell of
+    drift past the sort, the same slack the reference's g2p2g exploits for
+    particles that moved cells (`g2p2g.rs:297-309`). Out-of-window lanes get
+    zero weight (the lazy-resort trigger keeps drift under one cell).
+
+    Returns (w_axes, dpt_axes, in_window, base_cells) with w/dpt [8, C] each.
+    """
+    h = grid.cell_width
+    rs = region_side()
+    c = data.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rs, c), 0)
+
+    w_axes, dpt_axes = [], []
+    in_window = None
+    bases = []
+    for ax in range(dim):
+        xg = (data[L.Rows(dim).pos + ax, :] - grid.origin[ax]) / h  # [C]
+        base = jnp.round(xg).astype(jnp.int32) - 1
+        fx = xg - base.astype(jnp.float32)
+        origin_cell = iref[L.I_ORIGIN + ax, :]  # [C] i32
+        rel = base - origin_cell
+        ok = (rel >= 0) & (rel <= rs - 3)
+        in_window = ok if in_window is None else (in_window & ok)
+        bases.append(base)
+
+        rr = r - rel[None, :]
+        w0 = 0.5 * (1.5 - fx) ** 2
+        w1 = 0.75 - (fx - 1.0) ** 2
+        w2 = 0.5 * (fx - 0.5) ** 2
+        w = (
+            w0[None, :] * (rr == 0)
+            + w1[None, :] * (rr == 1)
+            + w2[None, :] * (rr == 2)
+        )
+        px = rel.astype(jnp.float32) + fx
+        dpt = (r.astype(jnp.float32) - px[None, :]) * h
+        w_axes.append(w)
+        dpt_axes.append(dpt)
+    return w_axes, dpt_axes, in_window, bases
+
+
+def _outer_full(w_axes):
+    dim = len(w_axes)
+    rs, c = w_axes[0].shape
+    if dim == 2:
+        w = w_axes[0][:, None, :] * w_axes[1][None, :, :]
+        return w.reshape(rs * rs, c)
+    w = (
+        w_axes[0][:, None, None, :]
+        * w_axes[1][None, :, None, :]
+        * w_axes[2][None, None, :, :]
+    )
+    return w.reshape(rs * rs * rs, c)
+
+
+def _window_tensors(w_axes, dpt_axes):
+    dim = len(w_axes)
+    w_full = _outer_full(w_axes)
+    wd = []
+    for j in range(dim):
+        parts = [
+            w_axes[ax] * dpt_axes[ax] if ax == j else w_axes[ax]
+            for ax in range(dim)
+        ]
+        wd.append(_outer_full(parts))
+    return w_full, wd
+
+
+def _dot(a, b):
+    """[M, K] x [K, N] -> [M, N] on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_nt(a, b):
+    """[M, K] x [N, K] -> [M, N]."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _in_bounds(bases, res):
+    ok = None
+    for ax, base in enumerate(bases):
+        o = (base >= 0) & (base + 2 <= res[ax] - 1)
+        ok = o if ok is None else (ok & o)
+    return ok
+
+
+def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
+    """In-kernel mirror of registry.kirchhoff_stress (component-wise)."""
+    m_count, present_c = meta["m_count"], meta["present_c"]
+    ct = _select_itype(tab_i, mid, m_count, 0)
+    p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(4)]
+    stress = cmat.zeros_like_mat(f)
+    if con.COROTATED in present_c:
+        s = con.corotated_kirchhoff_stress_c(p[0], p[1], p[3], phase, eh, f)
+        stress = cmat.where_mat(ct == con.COROTATED, s, stress)
+    if con.NEO_HOOKEAN in present_c:
+        s = con.neo_hookean_kirchhoff_stress_c(p[0], p[1], phase, eh, f)
+        stress = cmat.where_mat(ct == con.NEO_HOOKEAN, s, stress)
+    if con.EOS_MONAGHAN_SPH in present_c:
+        fluid_j = f[0][0]
+        density_fluid = (mass / vol0) / jnp.maximum(fluid_j, 1e-20)
+        s = con.eos_kirchhoff_stress_c(
+            p[0], p[1], p[2], p[3], mass, vol0, density_fluid, fluid_j, g
+        )
+        stress = cmat.where_mat(ct == con.EOS_MONAGHAN_SPH, s, stress)
+    return stress
+
+
+def _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f):
+    m_count, present_c = meta["m_count"], meta["present_c"]
+    ct = _select_itype(tab_i, mid, m_count, 0)
+    p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(2)]
+    out = jnp.zeros_like(phase)
+    if con.COROTATED in present_c:
+        e = con.corotated_pos_energy_c(p[0], p[1], eh, f)
+        out = jnp.where(ct == con.COROTATED, e, out)
+    if con.NEO_HOOKEAN in present_c:
+        e = con.neo_hookean_pos_energy_c(p[0], p[1], phase, eh, f)
+        out = jnp.where(ct == con.NEO_HOOKEAN, e, out)
+    return out
+
+
+def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
+                      vnorm, vsq, cell_width, dim):
+    m_count, present_c = meta["m_count"], meta["present_c"]
+    ct = _select_itype(tab_i, mid, m_count, 0)
+    p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(4)]
+    density0 = mass / jnp.maximum(vol0, 1e-30)
+    out = jnp.full(phase.shape, jnp.inf, jnp.float32)
+    if con.COROTATED in present_c:
+        bulk = (p[0] + 2.0 * p[1] / 3.0) * eh
+        shear = p[1] * eh
+        b = con.sound_speed_timestep_bound_c(p[2], bulk, shear, density0, vnorm, cell_width)
+        out = jnp.where(ct == con.COROTATED, b, out)
+    if con.NEO_HOOKEAN in present_c:
+        bulk = (p[0] + 2.0 * p[1] / 3.0) * eh
+        shear = p[1] * eh
+        b = con.sound_speed_timestep_bound_c(p[2], bulk, shear, density0, vnorm, cell_width)
+        out = jnp.where(ct == con.NEO_HOOKEAN, b, out)
+    if con.EOS_MONAGHAN_SPH in present_c:
+        fluid_j = f[0][0]
+        density_fluid = density0 / jnp.maximum(fluid_j, 1e-20)
+        b = con.eos_timestep_bound_c(
+            p[0], p[1], p[3], fluid_j, mass, vol0, density_fluid, vsq,
+            cell_width, dim,
+        )
+        out = jnp.where(ct == con.EOS_MONAGHAN_SPH, b, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: stress + P2G window images
+# ---------------------------------------------------------------------------
+
+
+def _p2g_kernel(grid, meta, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_ref):
+    dim = grid.dim
+    r = L.Rows(dim)
+    data = slots_ref[0]  # [NF, C]
+    iref = ints_ref[0]  # [NI, C]
+    dt = dt_ref[0, 0]
+    with_psi = meta["with_psi"]
+    invd = kernel_inv_d(grid.cell_width)
+
+    mid = _row(iref, L.I_MODEL)
+    flags = _row(iref, L.I_FLAGS)
+    active = (flags & L.ACTIVE) != 0
+    failed = _row(data, r.failed) != 0.0
+    phase = _row(data, r.phase)
+    eh = _row(data, r.eh)
+    mass = _row(data, r.mass)
+    vol0 = _row(data, r.vol0)
+    f = _mat(data, r.defgrad, dim)
+    g = _mat(data, r.grad, dim)
+
+    stress = _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0)
+    # affine = m*C - V0*invd*dt*sigma, zero stress for failed debris
+    # (ref: particle_to_grid.rs / dense.p2g_scatter).
+    coeff = vol0 * invd * dt
+    affine = [
+        [
+            mass * g[i][j] - jnp.where(failed, 0.0, coeff * stress[i][j])
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
+    contrib = (active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]).astype(
+        jnp.float32
+    )
+    w_full, wd = _window_tensors(w_axes, dpt_axes)
+
+    m_c = mass * contrib
+    vel_rows = jnp.concatenate(
+        [m_c * _row(data, r.vel + ax) for ax in range(dim)], axis=0
+    )  # [d, C] momentum
+    parts = [m_c, vel_rows]
+    if with_psi:
+        cpf = _row(data, r.cpf)
+        psi_mass = jnp.where((phase > 0.0) & (cpf != 0.0) & ~failed, mass, 0.0)
+        psi_mom = psi_mass * _row(data, r.psi_pos)
+        parts += [psi_mom * contrib, psi_mass * contrib]
+    p0 = jnp.concatenate(parts, axis=0)  # [1+d(+2), C]
+    base_img = _dot_nt(p0, w_full)
+
+    mom = base_img[1 : 1 + dim, :]
+    for j in range(dim):
+        a_col = jnp.concatenate(
+            [contrib * affine[i][j] for i in range(dim)], axis=0
+        )  # [d, C]
+        mom = mom + _dot_nt(a_col, wd[j])
+
+    out_parts = [base_img[:1, :], mom]
+    if with_psi:
+        out_parts.append(base_img[1 + dim :, :])
+    out_ref[0] = jnp.concatenate(out_parts, axis=0)
+
+
+def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
+              interpret=False, vma=None):
+    """Slot state -> window images [D, 1+d(+2), 8^d]."""
+    dim = grid.dim
+    r = L.Rows(dim)
+    rc = region_cells(dim)
+    nf_out = 1 + dim + (2 if meta["with_psi"] else 0)
+    d_ = cfg.max_chunks
+    c = cfg.chunk_size
+    m = tab_f.shape[0]
+
+    kernel = functools.partial(_p2g_kernel, grid, meta)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_,),
+        in_specs=[
+            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nf_out, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=_out_shape((d_, nf_out, rc), jnp.float32, vma),
+        interpret=interpret,
+    )(slots, ints, dt.reshape(1, 1), tab_f, tab_i)
+
+
+# ---------------------------------------------------------------------------
+# Mass-only transfer kernels (fluid volume recomputation,
+# ref: fluids_volume.rs recompute_fluids_volumes)
+# ---------------------------------------------------------------------------
+
+
+def _mass_p2g_kernel(grid, slots_ref, ints_ref, out_ref):
+    dim = grid.dim
+    r = L.Rows(dim)
+    data = slots_ref[0]
+    iref = ints_ref[0]
+    flags = _row(iref, L.I_FLAGS)
+    active = (flags & L.ACTIVE) != 0
+    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
+    contrib = (
+        active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
+    ).astype(jnp.float32)
+    w_full = _outer_full(w_axes)
+    out_ref[0] = _dot_nt(contrib * _row(data, r.mass), w_full)
+
+
+def _mass_g2p_kernel(grid, slots_ref, ints_ref, win_ref, out_ref):
+    dim = grid.dim
+    data = slots_ref[0]
+    iref = ints_ref[0]
+    flags = _row(iref, L.I_FLAGS)
+    active = (flags & L.ACTIVE) != 0
+    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
+    contrib = (
+        active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
+    ).astype(jnp.float32)
+    w_full = _outer_full(w_axes)
+    out_ref[0] = contrib * _dot(win_ref[0], w_full)
+
+
+def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
+    """Mass-only window images [D, 1, 8^d]."""
+    r = L.Rows(grid.dim)
+    rc = region_cells(grid.dim)
+    d_ = cfg.max_chunks
+    c = cfg.chunk_size
+    kernel = functools.partial(_mass_p2g_kernel, grid)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_,),
+        in_specs=[
+            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=_out_shape((d_, 1, rc), jnp.float32, vma),
+        interpret=interpret,
+    )(slots, ints)
+
+
+def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
+    """Mass gather per slot [D, 1, C] from mass windows [D, 1, 8^d]."""
+    r = L.Rows(grid.dim)
+    rc = region_cells(grid.dim)
+    d_ = cfg.max_chunks
+    c = cfg.chunk_size
+    kernel = functools.partial(_mass_g2p_kernel, grid)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_,),
+        in_specs=[
+            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=_out_shape((d_, 1, c), jnp.float32, vma),
+        interpret=interpret,
+    )(slots, ints, windows)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: G2P + full particle update + next dt bound
+# ---------------------------------------------------------------------------
+
+
+def _g2p_kernel(grid, meta, params, slots_ref, ints_ref, win_ref, dt_ref,
+                tab_f, tab_i, out_ref):
+    dim = grid.dim
+    r = L.Rows(dim)
+    h = grid.cell_width
+    invd = kernel_inv_d(h)
+    data = slots_ref[0]
+    iref = ints_ref[0]
+    dt = dt_ref[0, 0]
+    with_psi = meta["with_psi"]
+    m_count = meta["m_count"]
+    present_c = meta["present_c"]
+    present_p = meta["present_p"]
+    present_f = meta["present_f"]
+
+    mid = _row(iref, L.I_MODEL)
+    flags = _row(iref, L.I_FLAGS)
+    active = (flags & L.ACTIVE) != 0
+    is_static = (flags & L.STATIC) != 0
+    kinematic = (flags & L.KINEMATIC) != 0
+
+    # --- gather ------------------------------------------------------------
+    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
+    contrib = active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
+    w_full, wd = _window_tensors(w_axes, dpt_axes)
+
+    win = win_ref[0]  # [d(+1), RC]
+    win_v = win[:dim, :]
+    vel_g = _dot(win_v, w_full)  # [d, C]
+    grads = [invd * _dot(win_v, wd[j]) for j in range(dim)]  # grads[j] rows i
+    contrib_f = contrib.astype(jnp.float32)
+    vel = [contrib_f * vel_g[i : i + 1, :] for i in range(dim)]
+    g = [[contrib_f * grads[j][i : i + 1, :] for j in range(dim)] for i in range(dim)]
+    det = sum(g[j][j] for j in range(dim))
+    if with_psi:
+        psi_mom = contrib_f * _dot(win[dim : dim + 1, :], w_full)
+    else:
+        psi_mom = jnp.zeros_like(vel[0])
+
+    # --- particle update (mirrors dense.particle_update_after_gather) ------
+    phase = _row(data, r.phase)
+    failed = _row(data, r.failed) != 0.0
+    mass = _row(data, r.mass)
+    vol0 = _row(data, r.vol0)
+    eh = _row(data, r.eh)
+    ph = _row(data, r.ph)
+    pdd = _row(data, r.pdd)
+    lvg = _row(data, r.lvg)
+    nacc_a = _row(data, r.nacc)
+    psi_pos = _row(data, r.psi_pos)
+    f = _mat(data, r.defgrad, dim)
+    ct = _select_itype(tab_i, mid, m_count, 0)
+    is_fluid = ct == con.EOS_MONAGHAN_SPH
+
+    if meta["damage_model"] == 3:  # DamageModel.MODIFIED_EIGENEROSION
+        cpf = _row(data, r.cpf)
+        crack_energy = cpf * h * psi_mom
+        trip = (cpf != 0.0) & (phase > 0.0) & (crack_energy > _row(data, r.cthr))
+        phase = jnp.where(trip, 0.0, phase)
+
+    # Advection (kinematic override + optional GPU CFL clamp).
+    kin = [_row(data, r.kinvel + ax) for ax in range(dim)]
+    vel = [jnp.where(kinematic, kin[i], vel[i]) for i in range(dim)]
+    if params["gpu_velocity_clamp"]:
+        over = None
+        for i in range(dim):
+            o = jnp.abs(vel[i]) * dt >= h
+            over = o if over is None else (over | o)
+        vel = [
+            jnp.where(over, jnp.sign(vel[i]) * (h / dt), vel[i]) for i in range(dim)
+        ]
+    pos = [_row(data, r.pos + ax) + vel[ax] * dt for ax in range(dim)]
+
+    # Deformation gradient update.
+    gf = cmat.matmul_c(g, f)
+    f_solid = [[f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)]
+    f00_fluid = f[0][0] + det * dt * f[0][0]
+    f = cmat.where_mat(is_fluid, f, f_solid)
+    f[0][0] = jnp.where(is_fluid, f00_fluid, f[0][0])
+
+    # Plastic return mapping (masked per present type).
+    pt = _select_itype(tab_i, mid, m_count, 1)
+    pp = [_select_param(tab_f, mid, m_count, TAB_P + k) for k in range(8)]
+    if plas.DRUCKER_PRAGER in present_p:
+        f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(pp, phase, f, pdd, ph, lvg)
+        m = pt == plas.DRUCKER_PRAGER
+        f = cmat.where_mat(m, f2, f)
+        pdd = jnp.where(m, pdd2, pdd)
+        ph = jnp.where(m, ph2, ph)
+        lvg = jnp.where(m, lvg2, lvg)
+    if plas.NACC in present_p:
+        f2, na2 = plas.nacc_update_c(pp[:6], f, nacc_a)
+        m = pt == plas.NACC
+        f = cmat.where_mat(m, f2, f)
+        nacc_a = jnp.where(m, na2, nacc_a)
+    if plas.RANKINE in present_p:
+        f2, ph2 = plas.rankine_update_c(pp[:4], f, ph)
+        m = pt == plas.RANKINE
+        f = cmat.where_mat(m, f2, f)
+        ph = jnp.where(m, ph2, ph)
+    if plas.SNOW in present_p:
+        f2, eh2, pdd2 = plas.snow_update_c(pp[:3], f, eh, pdd)
+        m = pt == plas.SNOW
+        f = cmat.where_mat(m, f2, f)
+        eh = jnp.where(m, eh2, eh)
+        pdd = jnp.where(m, pdd2, pdd)
+
+    # Static particles.
+    zero = jnp.zeros_like(vel[0])
+    vel = [jnp.where(is_static, 0.0, v) for v in vel]
+    g = cmat.where_mat(is_static, cmat.zeros_like_mat(g), g)
+
+    # Failure guards: det(F)=0, already failed, |F00| blowup.
+    detf = cmat.det_c(f)
+    broken = (detf == 0.0) | failed | (~is_fluid & (jnp.abs(f[0][0]) > 1.0e4))
+    f = cmat.where_mat(broken, cmat.identity_c(dim, zero), f)
+    g = cmat.where_mat(broken, cmat.zeros_like_mat(g), g)
+    failed_new = failed | broken
+
+    # Pos energy accumulation.
+    energy = _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f)
+    psi_pos = jnp.maximum(psi_pos, energy)
+    par1 = psi_pos * mass
+    par2 = mass
+
+    # Failure model.
+    if present_f:
+        stress = _kirchhoff_stress_c(
+            meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
+        )
+        ft = _select_itype(tab_i, mid, m_count, 2)
+        fp = [_select_param(tab_f, mid, m_count, TAB_F + k) for k in range(2)]
+        tripped = jnp.zeros_like(phase, dtype=bool)
+        if fail.MAXIMUM_STRESS in present_f:
+            t = fail.maximum_stress_failed_c(fp[0], fp[1], stress)
+            tripped = tripped | ((ft == fail.MAXIMUM_STRESS) & t)
+        phase = jnp.where(tripped, 0.0, phase)
+
+    # Next substep's dt bound (ref: timestep_estimator.rs, fused to skip a
+    # standalone pass over particle state).
+    d_coeff = (h * h) / 4.0
+    norm_b = d_coeff * jnp.sqrt(cmat.frob2_c(g))
+    apic_v = norm_b * 6.0 * float(np.sqrt(dim)) / h
+    vsq = sum(v * v for v in vel)
+    vnorm = jnp.sqrt(vsq)
+    vtot = vnorm + apic_v
+    vel_bound = jnp.where(vtot > 0.0, h / jnp.maximum(vtot, 1e-20), jnp.inf)
+    con_bound = _timestep_bound_c(
+        meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0, vnorm, vsq, h, dim
+    )
+    con_bound = jnp.where(failed_new, jnp.inf, con_bound)
+    bound = jnp.minimum(vel_bound, con_bound)
+    bound = jnp.where(active, bound, jnp.inf)
+
+    # --- write the new slot tensor (row order = layout.Rows) ----------------
+    rows = list(pos)
+    rows += vel
+    rows += [g[i][j] for i in range(dim) for j in range(dim)]
+    rows += [f[i][j] for i in range(dim) for j in range(dim)]
+    rows += [mass, vol0, phase, psi_pos, pdd, ph, eh, lvg, nacc_a]
+    rows += kin
+    rows += [_row(data, r.cpf), _row(data, r.cthr), bound,
+             failed_new.astype(jnp.float32), _row(data, r.radius0), par1, par2,
+             _row(data, r.m_c), _row(data, r.g), _row(data, r.debug)]
+    while len(rows) < r.nf:
+        rows.append(zero)
+    out_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
+              tab_f, tab_i, interpret=False, vma=None):
+    """Slot state + grid windows [D, d(+1), 8^d] -> new slot state."""
+    dim = grid.dim
+    r = L.Rows(dim)
+    rc = region_cells(dim)
+    d_ = cfg.max_chunks
+    c = cfg.chunk_size
+    n_win = dim + (1 if meta["with_psi"] else 0)
+    m = tab_f.shape[0]
+
+    kernel = functools.partial(_g2p_kernel, grid, meta, params)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_,),
+        in_specs=[
+            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_win, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=_out_shape((d_, r.nf, c), jnp.float32, vma),
+        interpret=interpret,
+    )(slots, ints, windows, dt.reshape(1, 1), tab_f, tab_i)

@@ -1,0 +1,364 @@
+"""Persistent chunk-slot particle layout.
+
+Particle state lives BETWEEN substeps in an f-major slot tensor
+[MAX_CHUNKS, NF, CHUNK] (one row per scalar field, chunks grouped by grid
+block) plus an int tensor for ids/flags — the layout the fused Pallas
+kernels consume directly, so nothing is marshalled per substep. This is the
+TPU answer to the reference's sorted SoA device buffers that its g2p2g kernel
+indexes through `sorted_particle_ids` (ref: sparkl
+`src/cuda/cuda_particle_set.rs`, `src_kernels/cuda/g2p2g.rs:141-171`) — here
+the sort IS the storage order, and re-sorts are one wide row-permute applied
+lazily (see fused/pipeline.py).
+
+Conversion to/from the Particles pytree happens only at API boundaries.
+Inactive pytree rows (capacity padding) are not carried: unpacking restores
+them to Particles.empty defaults.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.core.particles import Particles
+from sparkl_tpu.sparse.blocks import BlockConfig
+from sparkl_tpu.fused import structure as S
+
+# Flag bits (int row FLAGS).
+ACTIVE = 1
+STATIC = 2
+KINEMATIC = 4
+OCCUPIED = 8
+
+# Int row indices.
+I_MODEL = 0
+I_FLAGS = 1
+I_ORIG = 2
+I_USER = 3
+I_ORIGIN = 4  # .. I_ORIGIN + d
+NI = 8
+
+
+def _round8(x):
+    return -(-x // 8) * 8
+
+
+@dataclass(frozen=True)
+class Rows:
+    """Row offsets of every scalar field in the f32 slot tensor."""
+
+    dim: int
+
+    @property
+    def pos(self):
+        return 0
+
+    @property
+    def vel(self):
+        return self.dim
+
+    @property
+    def grad(self):
+        return 2 * self.dim
+
+    @property
+    def defgrad(self):
+        return 2 * self.dim + self.dim * self.dim
+
+    @property
+    def _scalars(self):
+        return 2 * self.dim + 2 * self.dim * self.dim
+
+    # Scalar rows, in order.
+    @property
+    def mass(self):
+        return self._scalars
+
+    @property
+    def vol0(self):
+        return self._scalars + 1
+
+    @property
+    def phase(self):
+        return self._scalars + 2
+
+    @property
+    def psi_pos(self):
+        return self._scalars + 3
+
+    @property
+    def pdd(self):
+        return self._scalars + 4
+
+    @property
+    def ph(self):
+        return self._scalars + 5
+
+    @property
+    def eh(self):
+        return self._scalars + 6
+
+    @property
+    def lvg(self):
+        return self._scalars + 7
+
+    @property
+    def nacc(self):
+        return self._scalars + 8
+
+    @property
+    def kinvel(self):
+        return self._scalars + 9
+
+    @property
+    def cpf(self):
+        return self._scalars + 9 + self.dim
+
+    @property
+    def cthr(self):
+        return self._scalars + 10 + self.dim
+
+    @property
+    def dtb(self):
+        return self._scalars + 11 + self.dim
+
+    @property
+    def failed(self):
+        return self._scalars + 12 + self.dim
+
+    @property
+    def radius0(self):
+        return self._scalars + 13 + self.dim
+
+    @property
+    def par1(self):
+        return self._scalars + 14 + self.dim
+
+    @property
+    def par2(self):
+        return self._scalars + 15 + self.dim
+
+    @property
+    def m_c(self):
+        return self._scalars + 16 + self.dim
+
+    @property
+    def g(self):
+        return self._scalars + 17 + self.dim
+
+    @property
+    def debug(self):
+        return self._scalars + 18 + self.dim
+
+    @property
+    def nf(self):
+        return _round8(self._scalars + 19 + self.dim)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SlotState:
+    """Slot-resident particle population + its sparse structure."""
+
+    slots: jax.Array  # [D, NF, C] f32
+    ints: jax.Array  # [D, NI, C] i32
+    structure: S.SlotStructure
+    cum_disp: jax.Array  # [] f32 — max displacement accumulated since sort
+
+    def replace(self, **kw):
+        from dataclasses import replace as _r
+
+        return _r(self, **kw)
+
+
+def _field_columns(r: Rows, p: Particles, dtb):
+    """Particles pytree -> list of NF [N] f32 columns (row order of Rows)."""
+    d = p.dim
+    cols = [p.position[:, ax] for ax in range(d)]
+    cols += [p.velocity[:, ax] for ax in range(d)]
+    cols += [p.velocity_gradient[:, i, j] for i in range(d) for j in range(d)]
+    cols += [p.deformation_gradient[:, i, j] for i in range(d) for j in range(d)]
+    cols += [p.mass, p.volume0, p.phase, p.psi_pos, p.plastic_def_det,
+             p.plastic_hardening, p.elastic_hardening, p.log_vol_gain,
+             p.nacc_alpha]
+    cols += [p.kinematic_vel[:, ax] for ax in range(d)]
+    cols += [p.crack_propagation_factor, p.crack_threshold, dtb,
+             p.failed.astype(jnp.float32), p.radius0, p.parameter1,
+             p.parameter2, p.m_c, p.g, p.debug_val]
+    while len(cols) < r.nf:
+        cols.append(jnp.zeros_like(p.mass))
+    return cols
+
+
+def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb) -> SlotState:
+    """Particles (original order) -> slot state. `dtb` = per-particle dt
+    bounds [N] (dense.particle_dt_bounds), carried as a state row."""
+    r = Rows(p.dim)
+    d = p.dim
+
+    structure, sort_order, chunk_start = S.build_slot_structure(
+        grid, cfg, p.position, p.active, p.active
+    )
+    src, slot_valid = S.slot_source_index(
+        cfg, sort_order, chunk_start, structure.chunk_count
+    )
+
+    packed = jnp.stack(_field_columns(r, p, dtb), axis=1)  # [N, NF]
+    flat = jnp.where(slot_valid[:, None], packed[src], 0.0)
+    slots = jnp.moveaxis(
+        flat.reshape(cfg.max_chunks, cfg.chunk_size, r.nf), 1, 2
+    )
+
+    flags = (
+        p.active.astype(jnp.int32) * ACTIVE
+        + p.is_static.astype(jnp.int32) * STATIC
+        + p.kinematic_enabled.astype(jnp.int32) * KINEMATIC
+        + p.active.astype(jnp.int32) * OCCUPIED
+    )
+    icols = [p.model_id, flags, jnp.arange(p.capacity, dtype=jnp.int32),
+             p.user_data]
+    while len(icols) < NI:
+        icols.append(jnp.zeros_like(p.model_id))
+    ipacked = jnp.stack(icols, axis=1)  # [N, NI]
+    iflat = jnp.where(slot_valid[:, None], ipacked[src], 0)
+    ints = jnp.moveaxis(
+        iflat.reshape(cfg.max_chunks, cfg.chunk_size, NI), 1, 2
+    )
+    ints = _write_origin_rows(ints, structure, d)
+
+    return SlotState(
+        slots=slots,
+        ints=ints,
+        structure=structure,
+        cum_disp=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def _write_origin_rows(ints, structure, d):
+    origin = structure.chunk_origin  # [D, d] i32
+    c = ints.shape[2]
+    for ax in range(d):
+        ints = ints.at[:, I_ORIGIN + ax, :].set(
+            jnp.broadcast_to(origin[:, ax : ax + 1], (ints.shape[0], c))
+        )
+    return ints
+
+
+def unpack(grid: GridParams, cfg: BlockConfig, state: SlotState, capacity: int,
+           dim: int) -> Particles:
+    """Slot state -> Particles pytree in original order. Slots that hold no
+    particle leave their pytree row at Particles.empty defaults."""
+    r = Rows(dim)
+    flat = jnp.moveaxis(state.slots, 1, 2).reshape(-1, r.nf)  # [S, NF]
+    iflat = jnp.moveaxis(state.ints, 1, 2).reshape(-1, NI)
+    occupied = (iflat[:, I_FLAGS] & OCCUPIED) != 0
+    ids = jnp.where(occupied, iflat[:, I_ORIG], capacity)  # drop empties
+
+    empty = Particles.empty(capacity, dim)
+    dtb0 = jnp.zeros((capacity,), jnp.float32)
+    defaults = jnp.stack(_field_columns(r, empty, dtb0), axis=1)
+    mat = defaults.at[ids].set(flat, mode="drop")  # [N, NF]
+    idefaults = jnp.stack(
+        [empty.model_id, jnp.zeros((capacity,), jnp.int32),
+         jnp.arange(capacity, dtype=jnp.int32), empty.user_data]
+        + [jnp.zeros((capacity,), jnp.int32)] * (NI - 4),
+        axis=1,
+    )
+    imat = idefaults.at[ids].set(iflat, mode="drop")
+
+    d = dim
+
+    def vec(row):
+        return mat[:, row : row + d]
+
+    def matx(row):
+        return mat[:, row : row + d * d].reshape(-1, d, d)
+
+    flags = imat[:, I_FLAGS]
+    return Particles(
+        position=vec(r.pos),
+        velocity=vec(r.vel),
+        velocity_gradient=matx(r.grad),
+        deformation_gradient=jnp.where(
+            ((flags & OCCUPIED) != 0)[:, None, None],
+            matx(r.defgrad),
+            empty.deformation_gradient,
+        ),
+        plastic_def_det=jnp.where(
+            (flags & OCCUPIED) != 0, mat[:, r.pdd], empty.plastic_def_det
+        ),
+        mass=mat[:, r.mass],
+        volume0=jnp.where((flags & OCCUPIED) != 0, mat[:, r.vol0], empty.volume0),
+        radius0=mat[:, r.radius0],
+        model_id=imat[:, I_MODEL],
+        active=(flags & ACTIVE) != 0,
+        failed=mat[:, r.failed] != 0.0,
+        is_static=(flags & STATIC) != 0,
+        kinematic_enabled=(flags & KINEMATIC) != 0,
+        kinematic_vel=vec(r.kinvel),
+        phase=jnp.where((flags & OCCUPIED) != 0, mat[:, r.phase], empty.phase),
+        psi_pos=mat[:, r.psi_pos],
+        parameter1=mat[:, r.par1],
+        parameter2=mat[:, r.par2],
+        crack_propagation_factor=mat[:, r.cpf],
+        crack_threshold=jnp.where(
+            (flags & OCCUPIED) != 0, mat[:, r.cthr], empty.crack_threshold
+        ),
+        m_c=jnp.where((flags & OCCUPIED) != 0, mat[:, r.m_c], empty.m_c),
+        g=mat[:, r.g],
+        nacc_alpha=jnp.where(
+            (flags & OCCUPIED) != 0, mat[:, r.nacc], empty.nacc_alpha
+        ),
+        plastic_hardening=jnp.where(
+            (flags & OCCUPIED) != 0, mat[:, r.ph], empty.plastic_hardening
+        ),
+        elastic_hardening=jnp.where(
+            (flags & OCCUPIED) != 0, mat[:, r.eh], empty.elastic_hardening
+        ),
+        log_vol_gain=mat[:, r.lvg],
+        user_data=imat[:, I_USER],
+        debug_val=mat[:, r.debug],
+    )
+
+
+def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int):
+    """Rebuild the block structure from current slot positions and permute
+    the packed state into the new slot order (ONE wide row-gather — the
+    fused pipeline's entire per-sort cost). Returns (state, overflow)."""
+    r = Rows(dim)
+    c = cfg.chunk_size
+
+    flat = jnp.moveaxis(state.slots, 1, 2).reshape(-1, r.nf)  # [S, NF]
+    iflat = jnp.moveaxis(state.ints, 1, 2).reshape(-1, NI)
+    pos = flat[:, r.pos : r.pos + dim]
+    flags = iflat[:, I_FLAGS]
+    occupied = (flags & OCCUPIED) != 0
+    active = occupied & ((flags & ACTIVE) != 0)
+
+    structure, sort_order, chunk_start = S.build_slot_structure(
+        grid, cfg, pos, active, occupied
+    )
+    src, slot_valid = S.slot_source_index(
+        cfg, sort_order, chunk_start, structure.chunk_count
+    )
+
+    new_flat = jnp.where(slot_valid[:, None], flat[src], 0.0)
+    new_iflat = jnp.where(slot_valid[:, None], iflat[src], 0)
+    slots = jnp.moveaxis(new_flat.reshape(cfg.max_chunks, c, r.nf), 1, 2)
+    ints = jnp.moveaxis(new_iflat.reshape(cfg.max_chunks, c, NI), 1, 2)
+    ints = _write_origin_rows(ints, structure, dim)
+
+    overflow = (
+        (structure.num_blocks > cfg.max_blocks)
+        | (structure.num_grid_blocks > cfg.max_grid_blocks)
+        | (structure.num_chunks > cfg.max_chunks)
+    )
+    new_state = SlotState(
+        slots=slots,
+        ints=ints,
+        structure=structure,
+        cum_disp=jnp.asarray(0.0, jnp.float32),
+    )
+    return new_state, overflow

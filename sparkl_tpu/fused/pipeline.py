@@ -1,0 +1,500 @@
+"""Fused MPM pipeline: persistent slot state + fused Pallas substep kernels.
+
+The flagship single-chip performance path. Differences from
+sparse.SparseMpmPipeline (same physics, same trajectories):
+
+  * particle state lives in chunk-slot layout BETWEEN substeps — no
+    per-substep marshalling between particle order and kernel layout;
+  * stress, particle update, plasticity, failure, and the next dt bound run
+    INSIDE the two Pallas transfer kernels (fused/kernels.py) instead of as
+    separate XLA passes over particle arrays;
+  * re-sorting is LAZY: the off-by-two window association
+    (fused/structure.py) tolerates +-1 cell of drift, so the structure is
+    rebuilt only when accumulated peak displacement approaches one cell —
+    one wide row-permute, amortized over many substeps (the reference
+    re-sorts every substep, `src/cuda/cuda_sparse_grid.rs launch_sort`).
+
+Supported: all built-in constitutive/plastic/failure models, eigenerosion +
+modified eigenerosion, fluid volume recomputation, grid hooks, all collider
+boundary handling. NOT supported (falls back to SparseMpmPipeline via
+`supports()`): CD-MPM phase field, custom Python models, boundary particle
+projection, domain decomposition.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparkl_tpu.core.grid import GridParams, GridState
+from sparkl_tpu.core.params import DamageModel, SolverParameters
+from sparkl_tpu.math import linalg
+from sparkl_tpu.models import registry
+from sparkl_tpu.models import constitutive as con
+from sparkl_tpu.models import plasticity as plas
+from sparkl_tpu.models import failure as fail
+from sparkl_tpu.solver import dense
+from sparkl_tpu.solver.pipeline import MpmHooks
+from sparkl_tpu.sparse import blocks as B
+from sparkl_tpu.sparse import transfer as T
+from sparkl_tpu.fused import kernels as K
+from sparkl_tpu.fused import layout as L
+from sparkl_tpu.fused import structure as S
+
+# Resort when accumulated displacement reaches this fraction of a cell (the
+# off-by-two window guarantees correctness up to one full cell).
+DRIFT_FRACTION = 0.9
+
+
+class FusedMpmPipeline:
+    """Same public API as SparseMpmPipeline (step / step_with_stats /
+    run_frames on a Particles pytree); slot state is an internal detail."""
+
+    def __init__(
+        self,
+        grid: GridParams,
+        models: registry.ModelSet,
+        colliders=(),
+        params: SolverParameters = SolverParameters(),
+        gravity=None,
+        hooks: Optional[MpmHooks] = None,
+        config: Optional[B.BlockConfig] = None,
+        donate: bool = True,
+        use_pallas=None,  # None = auto (TPU backend); "interpret" for tests
+        calibration_slack: float = 1.4,
+    ):
+        ok, why = FusedMpmPipeline.supports(models, params)
+        if not ok:
+            raise ValueError(f"FusedMpmPipeline does not support: {why}")
+        self.grid = grid
+        self.models = models
+        self.colliders = tuple(colliders)
+        self.params = params
+        d = grid.dim
+        if gravity is None:
+            gravity = [0.0, -9.81] if d == 2 else [0.0, -9.81, 0.0]
+        self.gravity = jnp.asarray(gravity, jnp.float32)
+        self.hooks = hooks or MpmHooks()
+        self._cfg = config
+        self._calibration_slack = calibration_slack
+        self._jit = None
+        self._jit_frames = {}
+        self._donate = donate
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._interpret = use_pallas == "interpret"
+        self._kernel_vma = None
+        tab_f, tab_i = K.pack_model_tables(models)
+        self._tab_f, self._tab_i = tab_f, tab_i
+        self._meta = dict(
+            with_psi=params.damage_model
+            in (DamageModel.EIGENEROSION, DamageModel.MODIFIED_EIGENEROSION),
+            m_count=models.num_models,
+            present_c=models.present_c,
+            present_p=models.present_p,
+            present_f=models.present_f,
+            damage_model=int(params.damage_model),
+        )
+        self._kparams = dict(gpu_velocity_clamp=params.gpu_velocity_clamp)
+
+    @staticmethod
+    def supports(models: registry.ModelSet, params: SolverParameters):
+        """(ok, reason): can this scene run on the fused path?"""
+        if params.damage_model == DamageModel.CD_MPM:
+            return False, "CD-MPM phase field (use SparseMpmPipeline)"
+        if params.enable_boundary_particle_projection:
+            return False, "boundary particle projection"
+        for t in models.present_c:
+            if t >= con.CUSTOM_BASE:
+                return False, f"custom constitutive model {t}"
+        for t in models.present_p:
+            if t >= plas.PLASTIC_CUSTOM_BASE:
+                return False, f"custom plastic model {t}"
+        for t in models.present_f:
+            if t >= fail.FAILURE_CUSTOM_BASE:
+                return False, f"custom failure model {t}"
+        return True, ""
+
+    # -- capacity management --------------------------------------------------
+
+    def _ensure_cfg(self, p):
+        if self._cfg is None:
+            self._cfg = S.calibrate_ob2(
+                self.grid, p.position, p.active, slack=self._calibration_slack
+            )
+        if self._jit is None:
+            self._jit = jax.jit(
+                self._frames_impl,
+                static_argnums=(1,),
+                donate_argnums=(0,) if self._donate else (),
+            )
+
+    def _grow(self, factor=1.6):
+        c = self._cfg
+        self._cfg = B.BlockConfig(
+            max_blocks=int(c.max_blocks * factor) + 64,
+            max_chunks=int(c.max_chunks * factor) + 64,
+            chunk_size=c.chunk_size,
+            max_grid_blocks=int(c.max_grid_blocks * factor) + 64,
+        )
+        self._jit = None
+        self._ensure_cfg(None)
+
+    # -- row helpers ----------------------------------------------------------
+
+    @property
+    def _rows(self):
+        return L.Rows(self.grid.dim)
+
+    def _occupied(self, state):
+        return (state.ints[:, L.I_FLAGS, :] & L.OCCUPIED) != 0
+
+    def _active(self, state):
+        return (state.ints[:, L.I_FLAGS, :] & L.ACTIVE) != 0
+
+    def _mark_out_of_grid(self, state):
+        """failed |= active & stencil-out-of-grid (rows; ref:
+        particle_set.rs:132-135 / dense.mark_out_of_grid_failed)."""
+        grid, r = self.grid, self._rows
+        d = grid.dim
+        h = grid.cell_width
+        res = grid.res
+        ok = None
+        for ax in range(d):
+            xg = (state.slots[:, r.pos + ax, :] - grid.origin[ax]) / h
+            base = jnp.round(xg).astype(jnp.int32) - 1
+            o = (base >= 0) & (base + 2 <= res[ax] - 1)
+            ok = o if ok is None else (ok & o)
+        failed = state.slots[:, r.failed, :] != 0.0
+        failed = failed | (self._active(state) & ~ok)
+        slots = state.slots.at[:, r.failed, :].set(failed.astype(jnp.float32))
+        return state.replace(slots=slots)
+
+    # -- optional per-substep stages -------------------------------------------
+
+    def _recompute_fluids(self, state):
+        """Fluid volume recomputation on slot rows (mass-only P2G + gather;
+        ref: fluids_volume.rs recompute_fluids_volumes)."""
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        images = K.mass_p2g_fused(
+            grid, cfg, state.slots, state.ints, interpret=self._interpret,
+            vma=self._kernel_vma,
+        )
+        node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        windows = T.gather_grid_windows(grid, cfg, state.structure, node)
+        out = K.mass_g2p_fused(
+            grid, cfg, state.slots, state.ints, windows,
+            interpret=self._interpret, vma=self._kernel_vma,
+        )
+        new_mass = out[:, 0, :]
+
+        h = grid.cell_width
+        new_density = new_mass / (h**d)
+        mass_row = state.slots[:, r.mass, :]
+        vol0 = state.slots[:, r.vol0, :]
+        new_volume = mass_row / jnp.maximum(new_density, 1e-20)
+        ct = self._tab_i[:, 0][state.ints[:, L.I_MODEL, :]]
+        is_fluid = (ct == con.EOS_MONAGHAN_SPH) & self._active(state)
+        f00 = state.slots[:, r.defgrad, :]
+        f00 = jnp.where(
+            is_fluid, new_volume / jnp.maximum(vol0, 1e-30), f00
+        )
+        slots = state.slots.at[:, r.defgrad, :].set(f00)
+
+        # The EOS dt bound depends on F00 — refresh the carried bound row
+        # (the sparse pipeline recomputes bounds after the volume pass too).
+        slots = self._refresh_dtb_rows(state.replace(slots=slots))
+        return state.replace(slots=slots)
+
+    def _refresh_dtb_rows(self, state):
+        """Recompute the dt-bound row from current slot rows in XLA (only
+        used on the fluids path; ref: timestep_estimator.rs)."""
+        grid, r = self.grid, self._rows
+        d = grid.dim
+        h = grid.cell_width
+        slots, ints = state.slots, state.ints
+        mid = ints[:, L.I_MODEL, :]
+        g = [
+            [slots[:, r.grad + i * d + j, :] for j in range(d)] for i in range(d)
+        ]
+        f = [
+            [slots[:, r.defgrad + i * d + j, :] for j in range(d)]
+            for i in range(d)
+        ]
+        vel = [slots[:, r.vel + ax, :] for ax in range(d)]
+        from sparkl_tpu.math import cmat
+
+        d_coeff = (h * h) / 4.0
+        norm_b = d_coeff * jnp.sqrt(cmat.frob2_c(g))
+        apic_v = norm_b * 6.0 * float(np.sqrt(d)) / h
+        vsq = sum(v * v for v in vel)
+        vnorm = jnp.sqrt(vsq)
+        vtot = vnorm + apic_v
+        vel_bound = jnp.where(vtot > 0.0, h / jnp.maximum(vtot, 1e-20), jnp.inf)
+        con_bound = K._timestep_bound_c(
+            self._meta, self._tab_f, self._tab_i, mid,
+            slots[:, r.phase, :], slots[:, r.eh, :], f,
+            slots[:, r.mass, :], slots[:, r.vol0, :], vnorm, vsq, h, d,
+        )
+        failed = slots[:, r.failed, :] != 0.0
+        con_bound = jnp.where(failed, jnp.inf, con_bound)
+        bound = jnp.minimum(vel_bound, con_bound)
+        bound = jnp.where(self._active(state), bound, jnp.inf)
+        return slots.at[:, r.dtb, :].set(bound)
+
+    def _evolve_eigenerosion(self, state):
+        """Eigenerosion on slot rows (ref: eigenerosion.rs:9-58). The
+        neighbor machinery is order-agnostic; slots are just a padded
+        particle population."""
+        from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
+
+        grid, r = self.grid, self._rows
+        d = grid.dim
+        slots = state.slots
+        sflat = lambda row: slots[:, row, :].reshape(-1)
+        pos = jnp.stack(
+            [sflat(r.pos + ax) for ax in range(d)], axis=-1
+        )  # [S, d]
+        cpf = sflat(r.cpf)
+        phase = sflat(r.phase)
+        failed = sflat(r.failed) != 0.0
+        active = self._active(state).reshape(-1)
+        mass = sflat(r.mass)
+        psi_pos = sflat(r.psi_pos)
+        par1 = sflat(r.par1)
+        par2 = sflat(r.par2)
+        cthr = sflat(r.cthr)
+
+        eligible = (cpf != 0.0) & (phase > 0.0) & ~failed & active
+        max_per_cell = 8 if d == 2 else 16
+        vals = jnp.stack([mass * psi_pos, mass], axis=-1)
+        pooled = neighbor_pair_sums(
+            grid, pos, vals, include_mask=eligible, radius=grid.cell_width,
+            max_per_cell=max_per_cell,
+        )
+        par1 = par1 + jnp.where(eligible, pooled[:, 0], 0.0)
+        par2 = par2 + jnp.where(eligible, pooled[:, 1], 0.0)
+        has_crack = cpf != 0.0
+        safe2 = jnp.where(par2 > 0.0, par2, 1.0)
+        energy = par1 * cpf * grid.cell_width / safe2
+        trip = has_crack & (energy > cthr)
+        shape = (self._cfg.max_chunks, self._cfg.chunk_size)
+        slots = slots.at[:, r.par1, :].set(
+            jnp.where(has_crack, energy, par1).reshape(shape)
+        )
+        slots = slots.at[:, r.phase, :].set(
+            jnp.where(trip, 0.0, phase).reshape(shape)
+        )
+        return state.replace(slots=slots)
+
+    # -- one substep (traced) --------------------------------------------------
+
+    def _substep(self, state, dt):
+        grid, cfg, params, r = self.grid, self._cfg, self.params, self._rows
+        dim = grid.dim
+        cpb = B.cells_per_block(dim)
+        with_psi = self._meta["with_psi"]
+        nf = 1 + dim + (2 if with_psi else 0)
+
+        images = K.p2g_fused(
+            grid, cfg, self._meta, state.slots, state.ints, dt,
+            self._tab_f, self._tab_i, interpret=self._interpret,
+            vma=self._kernel_vma,
+        )
+        node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
+
+        mass = node[:, 0, :]
+        mom = jnp.moveaxis(node[:, 1 : 1 + dim, :], 1, -1)
+        if with_psi:
+            psi_mom_g = node[:, 1 + dim, :]
+            psi_mass_g = node[:, 2 + dim, :]
+        else:
+            psi_mom_g = jnp.zeros_like(mass)
+            psi_mass_g = jnp.zeros_like(mass)
+
+        inv_mass = linalg.inv_exact(mass)
+        velocity = (mom + mass[..., None] * self.gravity * dt) * inv_mass[..., None]
+
+        node_pos = S.block_node_positions_ob2(grid, state.structure.grid_keys)
+        node_pos = jnp.concatenate(
+            [node_pos, jnp.full((1, cpb, dim), 1.0e10, jnp.float32)], axis=0
+        )
+        gstate = GridState(
+            mass=mass,
+            momentum=mom,
+            velocity=velocity,
+            psi_momentum=psi_mom_g,
+            psi_mass=psi_mass_g,
+        )
+        gstate = dense.grid_update(
+            grid, gstate, self.colliders, dt, params.boundary_handling,
+            params.simulation_dofs, node_positions=node_pos,
+        )
+        gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
+        velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
+
+        win_parts = [jnp.moveaxis(velocity, -1, 1)]
+        if with_psi:
+            win_parts.append(
+                (psi_mom_g * linalg.inv_exact(psi_mass_g))[:, None, :]
+            )
+        n_win = dim + (1 if with_psi else 0)
+        win_fields = jnp.concatenate(win_parts, axis=1).reshape(
+            cfg.max_grid_blocks + 1, n_win * cpb
+        )
+        windows = T.gather_grid_windows(grid, cfg, state.structure, win_fields)
+
+        new_slots = K.g2p_fused(
+            grid, cfg, self._meta, self._kparams, state.slots, state.ints,
+            windows, dt, self._tab_f, self._tab_i, interpret=self._interpret,
+            vma=self._kernel_vma,
+        )
+
+        # Per-substep peak displacement (drives the lazy resort trigger).
+        vmax = 0.0
+        for ax in range(dim):
+            vmax = jnp.maximum(
+                vmax, jnp.max(jnp.abs(new_slots[:, r.vel + ax, :]))
+            )
+        disp = vmax * dt
+        return state.replace(
+            slots=new_slots, cum_disp=state.cum_disp + disp
+        )
+
+    def _step_body(self, state, remaining, overflow, peak):
+        """One substep incl. the lazy resort; returns (state, dt, ...)."""
+        grid, params, cfg, r = self.grid, self.params, self._cfg, self._rows
+        min_dt = params.dt / params.max_num_substeps
+
+        # Lazy resort: the ob2 window is valid while accumulated drift stays
+        # under one cell; rebuild + permute only when needed.
+        need = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
+
+        def do_resort(s):
+            return L.resort(grid, cfg, s, grid.dim)
+
+        def no_resort(s):
+            return s, jnp.asarray(False)
+
+        state, ov = jax.lax.cond(need, do_resort, no_resort, state)
+        overflow = overflow | ov
+        peak = jnp.maximum(peak, state.structure.num_chunks)
+
+        state = self._mark_out_of_grid(state)
+
+        if params.force_fluids_volume_recomputation:
+            state = self._recompute_fluids(state)
+
+        occupied = self._occupied(state)
+        dtb = jnp.where(occupied, state.slots[:, r.dtb, :], jnp.inf)
+        max_dt = jnp.minimum(remaining, params.max_substep_dt)
+        dt = jnp.minimum(jnp.min(dtb), max_dt)
+        dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
+
+        if params.damage_model == DamageModel.EIGENEROSION:
+            state = self._evolve_eigenerosion(state)
+
+        state = self._substep(state, dt)
+        remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
+        return state, remaining, overflow, peak
+
+    def _step_impl(self, state):
+        params = self.params
+
+        def cond(carry):
+            _, remaining, niter, _, _ = carry
+            return (remaining > 0.0) & (niter < params.max_num_substeps)
+
+        def body(carry):
+            state, remaining, niter, overflow, peak = carry
+            state, remaining, overflow, peak = self._step_body(
+                state, remaining, overflow, peak
+            )
+            return (state, remaining, niter + 1, overflow, peak)
+
+        carry = (
+            state,
+            jnp.asarray(params.dt, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+        )
+        state, _, niter, overflow, peak = jax.lax.while_loop(cond, body, carry)
+        return state, niter, overflow, peak
+
+    def _frames_impl(self, state, num_frames):
+        def body(carry, _):
+            state, total, ov, peak = carry
+            state, niter, ov2, pk = self._step_impl(state)
+            return (state, total + niter, ov | ov2, jnp.maximum(peak, pk)), None
+
+        (state, total, ov, peak), _ = jax.lax.scan(
+            body,
+            (state, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             jnp.asarray(0, jnp.int32)),
+            None,
+            length=num_frames,
+        )
+        return state, total, ov, peak
+
+    # -- public API -------------------------------------------------------------
+
+    def _pack(self, particles):
+        particles = dense.mark_out_of_grid_failed(self.grid, particles)
+        dtb = dense.particle_dt_bounds(self.grid, particles, self.models)
+        return L.pack(self.grid, self._cfg, particles, dtb)
+
+    def _unpack(self, state, capacity):
+        return L.unpack(self.grid, self._cfg, state, capacity, self.grid.dim)
+
+    def step(self, particles):
+        p, _ = self.step_with_stats(particles)
+        return p
+
+    def step_with_stats(self, particles):
+        p, n = self.run_frames(particles, 1)
+        return p, n
+
+    def run_frames(self, particles, num_frames: int,
+                   frames_per_launch: int | None = None):
+        """Advance `num_frames` frames in ONE device program; slot state is
+        packed once, carried across frames, unpacked once. Capacity overflow
+        retries the whole span with grown tables (ref: the hashmap regrow
+        loop, cuda_sparse_grid.rs:161-253)."""
+        if frames_per_launch is not None and frames_per_launch < num_frames:
+            total = 0
+            done = 0
+            while done < num_frames:
+                k = min(frames_per_launch, num_frames - done)
+                particles, t = self.run_frames(particles, k)
+                total += int(t)
+                done += k
+            return particles, total
+        self._ensure_cfg(particles)
+        capacity = particles.capacity
+        for _attempt in range(6):
+            state = self._pack(particles)
+            s = state.structure
+            if (
+                int(s.num_blocks) > self._cfg.max_blocks
+                or int(s.num_grid_blocks) > self._cfg.max_grid_blocks
+                or int(s.num_chunks) > self._cfg.max_chunks
+            ):
+                self._grow()
+                continue
+            state, total, overflow, peak = self._jit(state, num_frames)
+            if not bool(overflow):
+                self._adapt_capacity(int(peak))
+                return self._unpack(state, capacity), int(total)
+            self._grow()
+        raise RuntimeError("block table capacity still overflowing after regrows")
+
+    def _adapt_capacity(self, peak_chunks):
+        """Preemptive regrow before an overflow wastes a frame (ref:
+        cuda_sparse_grid.rs regrows its hashmap at >50% load)."""
+        cap = self._cfg.max_chunks
+        if peak_chunks > 0.85 * cap:
+            self._grow(1.4)

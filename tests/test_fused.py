@@ -1,0 +1,263 @@
+"""Fused (persistent-slot) pipeline: pack round-trip + dense equivalence.
+
+The fused path must reproduce the dense reference pipeline's trajectories —
+the same bar test_sparse.py holds the block-sparse path to. Kernels run in
+interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sparkl_tpu as sk
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.models import registry
+from sparkl_tpu.fused import layout as L
+from sparkl_tpu.fused import structure as FS
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.solver import dense
+from sparkl_tpu.solver.pipeline import MpmPipeline
+from sparkl_tpu.sparse.blocks import BlockConfig
+
+E, NU = 2.0e4, 0.35
+
+
+def _scene2d(n=12, with_velocity=True):
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(E, NU))]
+    )
+    p = sk.cube_particles(
+        origin=(0.8, 1.2), counts=(n, n), model_id=0,
+        particle_radius=0.05 / 4, density0=1000.0,
+    )
+    if with_velocity:
+        rng = np.random.default_rng(0)
+        vel = rng.normal(scale=0.5, size=(p.capacity, 2)).astype(np.float32)
+        p = p.replace(velocity=jnp.asarray(vel))
+    return grid, models, p
+
+
+def _scene3d(n=8):
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(40, 40, 40))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(1.2, 2.0, 1.2), counts=(n, n, n), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    return grid, models, p
+
+
+def _compare(pd, pf, atol_pos=5e-5, atol_vel=5e-4, atol_f=5e-4):
+    """Fused output is in original particle order — compare directly."""
+    act_d = np.asarray(pd.active)
+    act_f = np.asarray(pf.active)
+    np.testing.assert_array_equal(act_d, act_f)
+    sel = act_d
+    np.testing.assert_allclose(
+        np.asarray(pd.position)[sel], np.asarray(pf.position)[sel], atol=atol_pos
+    )
+    np.testing.assert_allclose(
+        np.asarray(pd.velocity)[sel], np.asarray(pf.velocity)[sel], atol=atol_vel
+    )
+    np.testing.assert_allclose(
+        np.asarray(pd.deformation_gradient)[sel],
+        np.asarray(pf.deformation_gradient)[sel],
+        atol=atol_f,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pd.failed)[sel], np.asarray(pf.failed)[sel]
+    )
+
+
+def test_pack_unpack_roundtrip():
+    grid, models, p = _scene2d(10)
+    # A few inactive padding rows + one failed particle.
+    p = sk.cube_particles(
+        origin=(0.8, 1.2), counts=(10, 10), model_id=0,
+        particle_radius=0.05 / 4, density0=1000.0, capacity=120,
+    )
+    p = p.replace(failed=p.failed.at[7].set(True))
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    q = L.unpack(grid, cfg, state, p.capacity, p.dim)
+
+    for name in [
+        "position", "velocity", "velocity_gradient", "deformation_gradient",
+        "plastic_def_det", "mass", "volume0", "radius0", "phase", "psi_pos",
+        "crack_propagation_factor", "crack_threshold", "nacc_alpha",
+        "plastic_hardening", "elastic_hardening", "log_vol_gain",
+        "kinematic_vel", "parameter1", "parameter2", "m_c", "g", "debug_val",
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(p, name)), np.asarray(getattr(q, name)),
+            err_msg=name,
+        )
+    for name in ["active", "failed", "is_static", "kinematic_enabled",
+                 "model_id", "user_data"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p, name)), np.asarray(getattr(q, name)),
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fused_matches_dense_one_frame(dim):
+    if dim == 2:
+        grid, models, p = _scene2d(14)
+        colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+        gravity = [0.0, -9.81]
+    else:
+        grid, models, p = _scene3d(8)
+        colliders = [
+            sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+        ]
+        gravity = [0.0, -9.81, 0.0]
+
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, colliders, params, gravity, use_pallas="interpret"
+    )
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    pf = fpipe.step(p)
+    _compare(pd, pf)
+
+
+def test_fused_matches_dense_multi_frame_with_resort():
+    """Several frames of a falling block: accumulated drift crosses cells so
+    the lazy resort path is exercised."""
+    grid, models, p = _scene2d(12)
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+    gravity = [0.0, -9.81]
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, colliders, params, gravity, use_pallas="interpret"
+    )
+    pd = jax.tree_util.tree_map(jnp.array, p)
+    for _ in range(5):
+        pd = dpipe.step(pd)
+    pf, _total = fpipe.run_frames(p, 5)
+    _compare(pd, pf, atol_pos=2e-4, atol_vel=2e-3, atol_f=2e-3)
+
+
+def test_fused_fluids_volume_matches_dense():
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.monaghan_sph_eos(1.0e4, 7, 1.01e-3))]
+    )
+    p = sk.cube_particles(
+        origin=(1.5, 1.5), counts=(20, 20), model_id=0,
+        particle_radius=0.025, density0=1000.0,
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.0)]
+    params = sk.SolverParameters(dt=1.0 / 60.0, force_fluids_volume_recomputation=True)
+    gravity = [0.0, -9.81]
+
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, colliders, params, gravity, use_pallas="interpret"
+    )
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    pf = fpipe.step(p)
+    sel = np.asarray(pd.active)
+    np.testing.assert_allclose(
+        np.asarray(pd.position)[sel], np.asarray(pf.position)[sel], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pd.deformation_gradient)[sel][:, 0, 0],
+        np.asarray(pf.deformation_gradient)[sel][:, 0, 0],
+        atol=1e-4,
+    )
+
+
+def test_fused_modified_eigenerosion_matches_dense():
+    grid, models, _ = _scene2d(10)
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(E, NU),
+                failure=registry.maximum_stress_failure(1.0e5, 1.0e5),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(0.8, 1.2), counts=(10, 10), model_id=0,
+        particle_radius=0.05 / 4, density0=1000.0,
+        crack_propagation_factor=0.1, crack_threshold=50.0,
+    )
+    params = sk.SolverParameters(
+        dt=1.0 / 60.0, damage_model=sk.DamageModel.MODIFIED_EIGENEROSION
+    )
+    gravity = [0.0, -9.81]
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, colliders, params, gravity, use_pallas="interpret"
+    )
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    pf = fpipe.step(p)
+    _compare(pd, pf)
+    np.testing.assert_allclose(
+        np.asarray(pd.phase), np.asarray(pf.phase), atol=1e-6
+    )
+
+
+def test_fused_eigenerosion_matches_dense():
+    grid, _, _ = _scene2d(10)
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(E, NU))]
+    )
+    p = sk.cube_particles(
+        origin=(0.8, 1.2), counts=(10, 10), model_id=0,
+        particle_radius=0.05 / 4, density0=1000.0,
+        crack_propagation_factor=0.5, crack_threshold=1.0e-4,
+    )
+    rng = np.random.default_rng(1)
+    vel = rng.normal(scale=1.0, size=(p.capacity, 2)).astype(np.float32)
+    p = p.replace(velocity=jnp.asarray(vel))
+    params = sk.SolverParameters(
+        dt=1.0 / 120.0, damage_model=sk.DamageModel.EIGENEROSION
+    )
+    gravity = [0.0, -9.81]
+    dpipe = MpmPipeline(grid, models, [], params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, [], params, gravity, use_pallas="interpret"
+    )
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    pf = fpipe.step(p)
+    _compare(pd, pf)
+    np.testing.assert_allclose(
+        np.asarray(pd.phase), np.asarray(pf.phase), atol=1e-6
+    )
+
+
+def test_fused_capacity_regrow():
+    grid, models, p = _scene2d(16)
+    cfg = BlockConfig(max_blocks=4, max_chunks=8, chunk_size=16)
+    fpipe = FusedMpmPipeline(
+        grid, models, [],
+        sk.SolverParameters(dt=1.0 / 240.0, max_num_substeps=4),
+        [0.0, -9.81], config=cfg, use_pallas="interpret",
+    )
+    pf = fpipe.step(p)
+    assert np.isfinite(np.asarray(pf.position)[np.asarray(pf.active)]).all()
+    assert fpipe._cfg.max_blocks > 4
+
+
+def test_fused_rejects_unsupported():
+    grid, models, p = _scene2d(8)
+    params = sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM)
+    with pytest.raises(ValueError):
+        FusedMpmPipeline(grid, models, [], params, use_pallas="interpret")
