@@ -31,6 +31,7 @@ def main():
     frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "3"))
 
     import sparkl_tpu.scenes as scenes
+    from sparkl_tpu.fused.pipeline import FusedMpmPipeline
     from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
 
     if scale == "full":
@@ -41,9 +42,11 @@ def main():
         n = int(scale)
         b = scenes.build("sand3", nx=n, ny=n // 2, nz=n // 2)
 
-    # Short measured span from the initial state: tight tables (no headroom
-    # needed), maximal throughput; long production runs use the default slack.
-    pipe = SparseMpmPipeline(
+    # Flagship path: the fused persistent-slot pipeline; SPARKL_BENCH_PIPELINE
+    # =sparse selects the round-1 block-sparse path for comparison.
+    which = os.environ.get("SPARKL_BENCH_PIPELINE", "fused")
+    cls = FusedMpmPipeline if which == "fused" else SparseMpmPipeline
+    pipe = cls(
         b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
     )
     p = b.particles

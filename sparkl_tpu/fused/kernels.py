@@ -48,6 +48,11 @@ TAB_F = 12
 def pack_model_tables(models):
     """ModelSet -> (tab_f32 [M, 16], tab_i32 [M, 4]) for SMEM prefetch."""
     tab_f = jnp.concatenate([models.cparams, models.pparams, models.fparams], axis=1)
+    pad = 16 - tab_f.shape[1]
+    if pad > 0:
+        tab_f = jnp.concatenate(
+            [tab_f, jnp.zeros((tab_f.shape[0], pad), tab_f.dtype)], axis=1
+        )
     tab_i = jnp.stack(
         [models.ctype, models.ptype, models.ftype, jnp.zeros_like(models.ctype)],
         axis=1,

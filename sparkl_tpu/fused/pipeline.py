@@ -38,6 +38,7 @@ from sparkl_tpu.solver import dense
 from sparkl_tpu.solver.pipeline import MpmHooks
 from sparkl_tpu.sparse import blocks as B
 from sparkl_tpu.sparse import transfer as T
+from sparkl_tpu.sparse.pipeline import OVERFLOW_TABLES, OVERFLOW_EIGEN
 from sparkl_tpu.fused import kernels as K
 from sparkl_tpu.fused import layout as L
 from sparkl_tpu.fused import structure as S
@@ -97,6 +98,9 @@ class FusedMpmPipeline:
             damage_model=int(params.damage_model),
         )
         self._kparams = dict(gpu_velocity_clamp=params.gpu_velocity_clamp)
+        from sparkl_tpu.solver.eigenerosion import default_max_per_cell
+
+        self._eigen_k = default_max_per_cell(grid.dim)
 
     @staticmethod
     def supports(models: registry.ModelSet, params: SolverParameters):
@@ -268,11 +272,10 @@ class FusedMpmPipeline:
         cthr = sflat(r.cthr)
 
         eligible = (cpf != 0.0) & (phase > 0.0) & ~failed & active
-        max_per_cell = 8 if d == 2 else 16
         vals = jnp.stack([mass * psi_pos, mass], axis=-1)
-        pooled = neighbor_pair_sums(
+        pooled, eig_ov = neighbor_pair_sums(
             grid, pos, vals, include_mask=eligible, radius=grid.cell_width,
-            max_per_cell=max_per_cell,
+            max_per_cell=self._eigen_k,
         )
         par1 = par1 + jnp.where(eligible, pooled[:, 0], 0.0)
         par2 = par2 + jnp.where(eligible, pooled[:, 1], 0.0)
@@ -287,7 +290,7 @@ class FusedMpmPipeline:
         slots = slots.at[:, r.phase, :].set(
             jnp.where(trip, 0.0, phase).reshape(shape)
         )
-        return state.replace(slots=slots)
+        return state.replace(slots=slots), eig_ov
 
     # -- one substep (traced) --------------------------------------------------
 
@@ -374,10 +377,11 @@ class FusedMpmPipeline:
         need = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
 
         def do_resort(s):
-            return L.resort(grid, cfg, s, grid.dim)
+            s2, ov = L.resort(grid, cfg, s, grid.dim)
+            return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         def no_resort(s):
-            return s, jnp.asarray(False)
+            return s, jnp.asarray(0, jnp.int32)
 
         state, ov = jax.lax.cond(need, do_resort, no_resort, state)
         overflow = overflow | ov
@@ -395,7 +399,8 @@ class FusedMpmPipeline:
         dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
         if params.damage_model == DamageModel.EIGENEROSION:
-            state = self._evolve_eigenerosion(state)
+            state, eig_ov = self._evolve_eigenerosion(state)
+            overflow = overflow | eig_ov.astype(jnp.int32) * OVERFLOW_EIGEN
 
         state = self._substep(state, dt)
         remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
@@ -419,7 +424,7 @@ class FusedMpmPipeline:
             state,
             jnp.asarray(params.dt, jnp.float32),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
         )
         state, _, niter, overflow, peak = jax.lax.while_loop(cond, body, carry)
@@ -433,7 +438,7 @@ class FusedMpmPipeline:
 
         (state, total, ov, peak), _ = jax.lax.scan(
             body,
-            (state, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.asarray(0, jnp.int32)),
             None,
             length=num_frames,
@@ -486,10 +491,18 @@ class FusedMpmPipeline:
                 self._grow()
                 continue
             state, total, overflow, peak = self._jit(state, num_frames)
-            if not bool(overflow):
+            flags = int(overflow)
+            if flags == 0:
                 self._adapt_capacity(int(peak))
                 return self._unpack(state, capacity), int(total)
-            self._grow()
+            if flags & OVERFLOW_EIGEN:
+                # Eigenerosion bucket overflow: double the neighbor-bucket
+                # depth and recompile (never silently mis-pool).
+                self._eigen_k *= 2
+                self._jit = None
+                self._ensure_cfg(None)
+            if flags & OVERFLOW_TABLES:
+                self._grow()
         raise RuntimeError("block table capacity still overflowing after regrows")
 
     def _adapt_capacity(self, peak_chunks):

@@ -90,6 +90,9 @@ class MpmPipeline:
         self.gravity = jnp.asarray(gravity, jnp.float32)
         self.hooks = hooks or MpmHooks()
         self._node_positions = grid.node_positions()
+        from sparkl_tpu.solver.eigenerosion import default_max_per_cell
+
+        self._eigen_k = default_max_per_cell(grid.dim)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- one substep (traced) ------------------------------------------------
@@ -125,11 +128,11 @@ class MpmPipeline:
         min_dt = params.dt / params.max_num_substeps
 
         def cond(carry):
-            p, remaining, niter = carry
+            p, remaining, niter, _ = carry
             return (remaining > 0.0) & (niter < params.max_num_substeps)
 
         def body(carry):
-            p, remaining, niter = carry
+            p, remaining, niter, eig_ov = carry
             p = dense.mark_out_of_grid_failed(grid, p)
 
             if params.force_fluids_volume_recomputation:
@@ -140,7 +143,8 @@ class MpmPipeline:
             dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
             if params.damage_model == DamageModel.EIGENEROSION:
-                p = evolve_eigenerosion(grid, p)
+                p, ov = evolve_eigenerosion(grid, p, self._eigen_k)
+                eig_ov = eig_ov | ov
             elif params.damage_model == DamageModel.CD_MPM:
                 p = update_phase_field(grid, p, models, dt)
 
@@ -148,11 +152,16 @@ class MpmPipeline:
             remaining = jnp.where(
                 params.stop_after_one_substep, 0.0, remaining - dt
             )
-            return (p, remaining, niter + 1)
+            return (p, remaining, niter + 1, eig_ov)
 
-        carry = (p, jnp.asarray(params.dt, jnp.float32), jnp.asarray(0, jnp.int32))
-        p, _, niter = jax.lax.while_loop(cond, body, carry)
-        return p, niter
+        carry = (
+            p,
+            jnp.asarray(params.dt, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        p, _, niter, eig_ov = jax.lax.while_loop(cond, body, carry)
+        return p, niter, eig_ov
 
     # -- public API -----------------------------------------------------------
 
@@ -160,8 +169,24 @@ class MpmPipeline:
         """Advance one frame of params.dt (adaptive substeps inside).
 
         Ref: MpmPipeline::step / MlsSolver::step."""
-        p, niter = self._step(particles)
+        p, niter = self.step_with_stats(particles)
         return p
 
     def step_with_stats(self, particles):
-        return self._step(particles)
+        eigen = self.params.damage_model == DamageModel.EIGENEROSION
+        for _attempt in range(6):
+            # Input is donated; keep a copy while a bucket-overflow retry is
+            # possible (only the eigenerosion family can trip it).
+            backup = (
+                jax.tree_util.tree_map(jnp.array, particles) if eigen else None
+            )
+            p, niter, eig_ov = self._step(particles)
+            if not eigen or not bool(eig_ov):
+                return p, niter
+            # A cell held more than _eigen_k eligible neighbors: pooling was
+            # incomplete. Double the bucket depth, recompile, retry (the
+            # reference never drops neighbors, eigenerosion.rs:9-58).
+            self._eigen_k *= 2
+            self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+            particles = backup
+        raise RuntimeError("eigenerosion buckets still overflowing after regrows")

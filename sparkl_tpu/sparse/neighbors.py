@@ -34,7 +34,13 @@ def _flat_cell(grid: GridParams, ix):
 
 
 def build_buckets(grid: GridParams, position, valid, max_per_cell: int):
-    """Returns bucket table [num_cells * max_per_cell] of particle ids (-1 empty)."""
+    """Returns (bucket table [num_cells * max_per_cell] of particle ids
+    (-1 empty), cell index, ok mask, overflow flag).
+
+    `overflow` is True when any cell holds more than max_per_cell valid
+    particles — those extras would silently vanish from neighbor enumeration,
+    so callers must regrow max_per_cell and retry (the reference never drops
+    neighbors: eigenerosion.rs iterates exact per-cell ranges)."""
     n = position.shape[0]
     ix, ok = cell_index(grid, position)
     ok = ok & valid
@@ -47,14 +53,16 @@ def build_buckets(grid: GridParams, position, valid, max_per_cell: int):
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
 
     k = max_per_cell
+    in_cell = sorted_cells < grid.num_nodes
+    overflow = jnp.any(in_cell & (rank >= k))
     slot = jnp.where(
-        (sorted_cells < grid.num_nodes) & (rank < k),
+        in_cell & (rank < k),
         sorted_cells * k + rank,
         grid.num_nodes * k,
     )
     buckets = jnp.full((grid.num_nodes * k + 1,), -1, jnp.int32)
     buckets = buckets.at[slot].set(order.astype(jnp.int32))
-    return buckets[:-1], ix, ok
+    return buckets[:-1], ix, ok, overflow
 
 
 def neighbor_pair_sums(
@@ -67,17 +75,18 @@ def neighbor_pair_sums(
 ):
     """For each particle i: sum over j != i of values[j] where
     |x_i - x_j| <= radius, both include_mask, j within the 3^d cell
-    neighborhood. Returns [N, V].
+    neighborhood. Returns ([N, V] sums, overflow flag).
 
     Cost is dominated by the [N, 3^d * L] candidate lookups (per-row gather
     cost on TPU), so candidates carry ONE packed row [id | pos | vals] and L
     defaults to 8 (MPM seeds 2 particles per cell axis = <= 4/cell in 2D,
-    8/cell in 3D; overflowing slots drop from *pooling only*).
+    8/cell in 3D). Cells exceeding max_per_cell raise the overflow flag so
+    the caller can regrow instead of silently mis-pooling.
     """
     n, d = position.shape
     v = values.shape[1]
     k = max_per_cell
-    buckets, ix, ok = build_buckets(grid, position, include_mask, k)
+    buckets, ix, ok, overflow = build_buckets(grid, position, include_mask, k)
 
     # Packed candidate payload [N + 1, 1 + d + V]: id, position, values; the
     # trailing row backs empty slots (id -1).
@@ -109,4 +118,4 @@ def neighbor_pair_sums(
     cand_valid = (
         cand_valid & (dist2 <= radius * radius) & include_mask[:, None] & ok[:, None]
     )
-    return jnp.sum(cand[..., 1 + d :] * cand_valid[..., None], axis=1)
+    return jnp.sum(cand[..., 1 + d :] * cand_valid[..., None], axis=1), overflow

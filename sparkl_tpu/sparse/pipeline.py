@@ -29,6 +29,11 @@ from sparkl_tpu.solver.pipeline import MpmHooks
 from sparkl_tpu.sparse import blocks as B
 from sparkl_tpu.sparse import transfer as T
 
+# Overflow flag bits (int32 scalar threaded through the substep loop): the
+# host regrow-retry loop grows the capacity that actually tripped.
+OVERFLOW_TABLES = 1  # block/chunk/grid tables or halo/migration buffers
+OVERFLOW_EIGEN = 2  # eigenerosion per-cell neighbor buckets
+
 
 class SparseMpmPipeline:
     """Same API as MpmPipeline; block-sparse MXU transfer path."""
@@ -73,6 +78,9 @@ class SparseMpmPipeline:
         self._dt_reduce = None     # dt -> dt  (e.g. lax.pmin)
         self._migrate_fn = None    # particles -> (particles, overflow_bool)
         self._pvary = None         # mark a scalar as device-varying (shard_map)
+        from sparkl_tpu.solver.eigenerosion import default_max_per_cell
+
+        self._eigen_k = default_max_per_cell(grid.dim)
         self._kernel_vma = None    # mesh axes pallas outputs vary over
 
     # -- capacity management (host-side regrow & retry) ----------------------
@@ -328,7 +336,7 @@ class SparseMpmPipeline:
             | (structure.num_chunks > cfg.max_chunks)
             | halo_overflow
         )
-        return p, overflow
+        return p, overflow.astype(jnp.int32) * OVERFLOW_TABLES
 
     def _step_impl(self, p):
         grid, models, params = self.grid, self.models, self.params
@@ -365,13 +373,14 @@ class SparseMpmPipeline:
             if params.damage_model == DamageModel.EIGENEROSION:
                 from sparkl_tpu.solver.eigenerosion import evolve_eigenerosion
 
-                p = evolve_eigenerosion(grid, p)
+                p, eig_ov = evolve_eigenerosion(grid, p, self._eigen_k)
+                overflow = overflow | eig_ov.astype(jnp.int32) * OVERFLOW_EIGEN
 
             p, ov = self._substep(p, dt, structure, inv_perm)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
             return (p, remaining, niter + 1, overflow | ov, peak)
 
-        overflow0 = jnp.asarray(False)
+        overflow0 = jnp.asarray(0, jnp.int32)
         peak0 = jnp.asarray(0, jnp.int32)
         if self._pvary is not None:
             # Under shard_map these are device-varying; the while_loop carry
@@ -398,13 +407,27 @@ class SparseMpmPipeline:
         self._ensure_cfg(particles)
         for _attempt in range(6):
             p, niter, overflow, peak = self._jit(particles)
-            if not bool(overflow):
+            flags = int(overflow)
+            if flags == 0:
                 self._adapt_capacity(int(peak), p)
                 return p, niter
-            # Capacity overflow: grow tables and retry the whole frame from
-            # the saved input (ref: cuda_sparse_grid.rs regrow-and-retry).
-            self._grow()
+            # Capacity overflow: grow whichever table tripped and retry the
+            # whole frame from the saved input (ref: cuda_sparse_grid.rs
+            # regrow-and-retry).
+            self._handle_overflow(flags)
         raise RuntimeError("block table capacity still overflowing after regrows")
+
+    def _handle_overflow(self, flags):
+        if flags & OVERFLOW_EIGEN:
+            # A cell exceeded the eigenerosion neighbor-bucket capacity:
+            # pooling would silently drop neighbors (the reference never
+            # does, eigenerosion.rs). Double the bucket depth and recompile.
+            self._eigen_k *= 2
+            self._jit = None
+            self._jit_frames = {}
+            self._ensure_cfg(None)
+        if flags & OVERFLOW_TABLES:
+            self._grow()
 
     def _adapt_capacity(self, peak_chunks, p):
         """Preemptive capacity management (the reference regrows its hashmap
@@ -467,7 +490,7 @@ class SparseMpmPipeline:
                 p, niter, ov2, pk = self._step_impl(p)
                 return (p, total + niter, ov | ov2, jnp.maximum(peak, pk)), None
 
-            ov0 = jnp.asarray(False)
+            ov0 = jnp.asarray(0, jnp.int32)
             pk0 = jnp.asarray(0, jnp.int32)
             if self._pvary is not None:
                 ov0 = self._pvary(ov0)
@@ -482,10 +505,11 @@ class SparseMpmPipeline:
             self._jit_frames[key] = jax.jit(frames_fn)
         for _attempt in range(6):
             p, total, overflow, peak = self._jit_frames[key](particles)
-            if not bool(overflow):
+            flags = int(overflow)
+            if flags == 0:
                 self._adapt_capacity(int(peak), p)
                 return p, total
-            self._grow()
+            self._handle_overflow(flags)
             key = (num_frames, self._cfg)
             if key not in self._jit_frames:
                 self._jit_frames[key] = jax.jit(frames_fn)

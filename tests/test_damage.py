@@ -18,16 +18,16 @@ def test_neighbor_pair_sums_matches_bruteforce():
     vals = rng.uniform(0.1, 1.0, size=(n, 2)).astype(np.float32)
     mask = rng.uniform(size=n) > 0.3
 
-    got = np.asarray(
-        neighbor_pair_sums(
-            grid,
-            jnp.asarray(pos),
-            jnp.asarray(vals),
-            jnp.asarray(mask),
-            radius=grid.cell_width,
-            max_per_cell=32,
-        )
+    got, overflow = neighbor_pair_sums(
+        grid,
+        jnp.asarray(pos),
+        jnp.asarray(vals),
+        jnp.asarray(mask),
+        radius=grid.cell_width,
+        max_per_cell=32,
     )
+    got = np.asarray(got)
+    assert not bool(overflow)
     want = np.zeros((n, 2), np.float32)
     for i in range(n):
         if not mask[i]:
@@ -56,13 +56,13 @@ def test_eigenerosion_trips_phase():
         crack_propagation_factor=jnp.full((p.capacity,), 2.0),
         crack_threshold=jnp.full((p.capacity,), 1.0),
     )
-    p2 = evolve_eigenerosion(grid, p)
+    p2, _ = evolve_eigenerosion(grid, p)
     # energy = factor*h*avg(psi) = 2.0*0.1*10 = 2 > 1 -> all fail.
     assert np.all(np.asarray(p2.phase)[np.asarray(p2.active)] == 0.0)
 
     # High threshold -> nothing fails.
     p3 = p.replace(crack_threshold=jnp.full((p.capacity,), 100.0))
-    p3 = evolve_eigenerosion(grid, p3)
+    p3, _ = evolve_eigenerosion(grid, p3)
     assert np.all(np.asarray(p3.phase)[np.asarray(p3.active)] == 1.0)
 
 
@@ -156,3 +156,40 @@ def test_phase_field_in_pipeline():
     assert np.isfinite(np.asarray(p.position)[act]).all()
     ph = np.asarray(p.phase)[act]
     assert np.all(ph >= 0.0) and np.all(ph <= 1.0)
+
+
+def test_eigenerosion_bucket_overflow_regrows():
+    """>max_per_cell particles in one cell must be detected and retried with
+    deeper buckets — never silently dropped from pooling (the reference
+    iterates exact per-cell ranges, eigenerosion.rs:9-58)."""
+    from sparkl_tpu.models import registry
+    import sparkl_tpu as sk
+
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.1, res=(32, 32))
+    rng = np.random.default_rng(3)
+    # 40 particles crammed into one cell: default 2D bucket depth is 8.
+    pos = (1.55 + 0.04 * rng.uniform(-1, 1, size=(40, 2))).astype(np.float32)
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.3))]
+    )
+    p = sk.Particles.from_positions(pos, 0, 0.025, 1000.0)
+    p = p.replace(
+        psi_pos=jnp.full((p.capacity,), 10.0),
+        parameter1=p.mass * 10.0,
+        parameter2=p.mass,
+        crack_propagation_factor=jnp.full((p.capacity,), 2.0),
+        crack_threshold=jnp.full((p.capacity,), 1.0e9),
+    )
+    params = sk.SolverParameters(
+        dt=1.0 / 240.0, max_num_substeps=2,
+        damage_model=sk.DamageModel.EIGENEROSION,
+    )
+    pipe = sk.MpmPipeline(grid, models, [], params, [0.0, -9.81])
+    k0 = pipe._eigen_k
+    out, _ = pipe.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    assert pipe._eigen_k > k0  # the overflow was detected and retried
+    assert pipe._eigen_k >= 40 or pipe._eigen_k >= 32
+
+    # Pooled energies must match a run that had enough capacity up front.
+    p2, ov = evolve_eigenerosion(grid, p, max_per_cell=64)
+    assert not bool(ov)
