@@ -13,12 +13,15 @@ the reference CPU semantics that the test suite pins:
   * p2g_fused — constitutive Kirchhoff stress (with SVD), APIC affine, psi
     channels, and the 8^d window scatter images, all in VMEM.
   * g2p_fused — window gather, advection, F update, plastic return maps,
-    failure guards + failure model, pos-energy, and the NEXT substep's dt
-    bound, writing the new slot tensor in one pass.
+    failure guards + failure model, pos-energy, out-of-grid marking, and the
+    NEXT substep's dt bound, writing the new slot tensor in one pass.
 
-All per-particle math runs on [1, C] rows via the component-wise cores in
-models/ (the same code tested against the array implementations); matrices
-never materialize trailing small dims.
+Each program processes R = 8 chunks so per-particle math runs on [8, C]
+tiles (full VPU sublane utilization — [1, C] rows would idle 7/8 of the
+vector unit); the per-chunk window matmuls are statically unrolled over R.
+Matrices live as nested lists of [R, C] rows via the component-wise cores in
+models/ (the same code tested against the array implementations); trailing
+small dims never materialize.
 """
 
 import functools
@@ -38,8 +41,12 @@ from sparkl_tpu.models import plasticity as plas
 from sparkl_tpu.sparse.blocks import region_cells, region_side
 from sparkl_tpu.fused import layout as L
 
+# Chunks per Pallas program (VPU sublane batching). max_chunks capacities are
+# kept multiples of this by calibrate_ob2 / the regrow path.
+CHUNKS_PER_PROGRAM = 8
+
 # Packed model-table columns (SMEM): f32 [M, 16] = cparams(0:4) | pparams(4:12)
-# | fparams(12:14); i32 [M, 4] = ctype | ptype | ftype | pad.
+# | fparams(12:14) | pad; i32 [M, 4] = ctype | ptype | ftype | pad.
 TAB_C = 0
 TAB_P = 4
 TAB_F = 12
@@ -66,16 +73,17 @@ def _out_shape(shape, dtype, vma):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _row(data, i):
-    return data[i : i + 1, :]
+def _r_of(cfg):
+    r = CHUNKS_PER_PROGRAM
+    return r if cfg.max_chunks % r == 0 else 1
 
 
-def _mat(data, base, d):
-    return [[_row(data, base + i * d + j) for j in range(d)] for i in range(d)]
+def _mat(row, base, d):
+    return [[row(base + i * d + j) for j in range(d)] for i in range(d)]
 
 
 def _select_param(tab_ref, mid, m_count, col):
-    """Per-slot parameter [1, C]: masked blend over the model table rows."""
+    """Per-slot parameter [R, C]: masked blend over the model table rows."""
     acc = jnp.zeros(mid.shape, jnp.float32)
     for m in range(m_count):
         acc = jnp.where(mid == m, tab_ref[m, col], acc)
@@ -89,36 +97,46 @@ def _select_itype(tab_ref, mid, m_count, col):
     return acc
 
 
-def _window_weights(grid: GridParams, data, iref, dim):
-    """Per-axis window weights/dpt from slot positions + chunk origin rows.
+def _transfer_masks(grid: GridParams, data, iref, dim, rows: "L.Rows"):
+    """Batched per-slot masks [R, C]: window membership (the +-1 drift slack
+    of the off-by-two association) and stencil-in-grid."""
+    h = grid.cell_width
+    rs = region_side()
+    in_window = None
+    in_bounds = None
+    for ax in range(dim):
+        xg = (data[:, rows.pos + ax, :] - grid.origin[ax]) / h
+        base = jnp.round(xg).astype(jnp.int32) - 1
+        rel = base - iref[:, L.I_ORIGIN + ax, :]
+        okw = (rel >= 0) & (rel <= rs - 3)
+        okb = (base >= 0) & (base + 2 <= grid.res[ax] - 1)
+        in_window = okw if in_window is None else (in_window & okw)
+        in_bounds = okb if in_bounds is None else (in_bounds & okb)
+    return in_window, in_bounds
 
-    Weight placement uses the particle's base cell RELATIVE TO THE CHUNK'S
+
+def _weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
+    """Window weight tensors for chunk i of the program's R chunks.
+
+    Weight placement is the particle's base cell RELATIVE TO THE CHUNK'S
     window origin (int rows written at sort time) — valid for +-1 cell of
-    drift past the sort, the same slack the reference's g2p2g exploits for
-    particles that moved cells (`g2p2g.rs:297-309`). Out-of-window lanes get
-    zero weight (the lazy-resort trigger keeps drift under one cell).
-
-    Returns (w_axes, dpt_axes, in_window, base_cells) with w/dpt [8, C] each.
+    drift past the sort, the slack the reference's g2p2g exploits for
+    particles that moved cells (`g2p2g.rs:297-309`). Out-of-window lanes
+    produce zero weights. Returns (w_full [8^d, C], wd per-axis list).
     """
     h = grid.cell_width
     rs = region_side()
-    c = data.shape[1]
-    r = jax.lax.broadcasted_iota(jnp.int32, (rs, c), 0)
+    c = data.shape[2]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (rs, c), 0)
 
     w_axes, dpt_axes = [], []
-    in_window = None
-    bases = []
     for ax in range(dim):
-        xg = (data[L.Rows(dim).pos + ax, :] - grid.origin[ax]) / h  # [C]
+        xg = (data[i, rows.pos + ax, :] - grid.origin[ax]) / h  # [C]
         base = jnp.round(xg).astype(jnp.int32) - 1
         fx = xg - base.astype(jnp.float32)
-        origin_cell = iref[L.I_ORIGIN + ax, :]  # [C] i32
-        rel = base - origin_cell
-        ok = (rel >= 0) & (rel <= rs - 3)
-        in_window = ok if in_window is None else (in_window & ok)
-        bases.append(base)
+        rel = base - iref[i, L.I_ORIGIN + ax, :]
 
-        rr = r - rel[None, :]
+        rr = r2 - rel[None, :]
         w0 = 0.5 * (1.5 - fx) ** 2
         w1 = 0.75 - (fx - 1.0) ** 2
         w2 = 0.5 * (fx - 0.5) ** 2
@@ -128,10 +146,19 @@ def _window_weights(grid: GridParams, data, iref, dim):
             + w2[None, :] * (rr == 2)
         )
         px = rel.astype(jnp.float32) + fx
-        dpt = (r.astype(jnp.float32) - px[None, :]) * h
+        dpt = (r2.astype(jnp.float32) - px[None, :]) * h
         w_axes.append(w)
         dpt_axes.append(dpt)
-    return w_axes, dpt_axes, in_window, bases
+
+    w_full = _outer_full(w_axes)
+    wd = []
+    for j in range(dim):
+        parts = [
+            w_axes[ax] * dpt_axes[ax] if ax == j else w_axes[ax]
+            for ax in range(dim)
+        ]
+        wd.append(_outer_full(parts))
+    return w_full, wd
 
 
 def _outer_full(w_axes):
@@ -148,19 +175,6 @@ def _outer_full(w_axes):
     return w.reshape(rs * rs * rs, c)
 
 
-def _window_tensors(w_axes, dpt_axes):
-    dim = len(w_axes)
-    w_full = _outer_full(w_axes)
-    wd = []
-    for j in range(dim):
-        parts = [
-            w_axes[ax] * dpt_axes[ax] if ax == j else w_axes[ax]
-            for ax in range(dim)
-        ]
-        wd.append(_outer_full(parts))
-    return w_full, wd
-
-
 def _dot(a, b):
     """[M, K] x [K, N] -> [M, N] on the MXU."""
     return jax.lax.dot_general(
@@ -173,14 +187,6 @@ def _dot_nt(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-
-
-def _in_bounds(bases, res):
-    ok = None
-    for ax, base in enumerate(bases):
-        o = (base >= 0) & (base + 2 <= res[ax] - 1)
-        ok = o if ok is None else (ok & o)
-    return ok
 
 
 def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
@@ -197,7 +203,9 @@ def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
         stress = cmat.where_mat(ct == con.NEO_HOOKEAN, s, stress)
     if con.EOS_MONAGHAN_SPH in present_c:
         fluid_j = f[0][0]
-        density_fluid = (mass / vol0) / jnp.maximum(fluid_j, 1e-20)
+        density_fluid = (mass / jnp.maximum(vol0, 1e-30)) / jnp.maximum(
+            fluid_j, 1e-20
+        )
         s = con.eos_kirchhoff_stress_c(
             p[0], p[1], p[2], p[3], mass, vol0, density_fluid, fluid_j, g
         )
@@ -252,25 +260,26 @@ def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(grid, meta, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_ref):
+def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
-    data = slots_ref[0]  # [NF, C]
-    iref = ints_ref[0]  # [NI, C]
+    data = slots_ref[...]  # [R, NF, C]
+    iref = ints_ref[...]  # [R, NI, C]
     dt = dt_ref[0, 0]
     with_psi = meta["with_psi"]
     invd = kernel_inv_d(grid.cell_width)
+    row = lambda k: data[:, k, :]  # [R, C]
 
-    mid = _row(iref, L.I_MODEL)
-    flags = _row(iref, L.I_FLAGS)
+    mid = iref[:, L.I_MODEL, :]
+    flags = iref[:, L.I_FLAGS, :]
     active = (flags & L.ACTIVE) != 0
-    failed = _row(data, r.failed) != 0.0
-    phase = _row(data, r.phase)
-    eh = _row(data, r.eh)
-    mass = _row(data, r.mass)
-    vol0 = _row(data, r.vol0)
-    f = _mat(data, r.defgrad, dim)
-    g = _mat(data, r.grad, dim)
+    failed = row(r.failed) != 0.0
+    phase = row(r.phase)
+    eh = row(r.eh)
+    mass = row(r.mass)
+    vol0 = row(r.vol0)
+    f = _mat(row, r.defgrad, dim)
+    g = _mat(row, r.grad, dim)
 
     stress = _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0)
     # affine = m*C - V0*invd*dt*sigma, zero stress for failed debris
@@ -284,36 +293,32 @@ def _p2g_kernel(grid, meta, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_ref):
         for i in range(dim)
     ]
 
-    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
-    contrib = (active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]).astype(
-        jnp.float32
-    )
-    w_full, wd = _window_tensors(w_axes, dpt_axes)
+    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+    contrib = (active & in_window & in_bounds).astype(jnp.float32)
 
     m_c = mass * contrib
-    vel_rows = jnp.concatenate(
-        [m_c * _row(data, r.vel + ax) for ax in range(dim)], axis=0
-    )  # [d, C] momentum
-    parts = [m_c, vel_rows]
+    parts = [m_c] + [m_c * row(r.vel + ax) for ax in range(dim)]
     if with_psi:
-        cpf = _row(data, r.cpf)
+        cpf = row(r.cpf)
         psi_mass = jnp.where((phase > 0.0) & (cpf != 0.0) & ~failed, mass, 0.0)
-        psi_mom = psi_mass * _row(data, r.psi_pos)
+        psi_mom = psi_mass * row(r.psi_pos)
         parts += [psi_mom * contrib, psi_mass * contrib]
-    p0 = jnp.concatenate(parts, axis=0)  # [1+d(+2), C]
-    base_img = _dot_nt(p0, w_full)
+    p0 = jnp.stack(parts, axis=1)  # [R, 1+d(+2), C]
+    a_cols = [
+        jnp.stack([contrib * affine[i][j] for i in range(dim)], axis=1)
+        for j in range(dim)
+    ]  # per j: [R, d, C]
 
-    mom = base_img[1 : 1 + dim, :]
-    for j in range(dim):
-        a_col = jnp.concatenate(
-            [contrib * affine[i][j] for i in range(dim)], axis=0
-        )  # [d, C]
-        mom = mom + _dot_nt(a_col, wd[j])
-
-    out_parts = [base_img[:1, :], mom]
-    if with_psi:
-        out_parts.append(base_img[1 + dim :, :])
-    out_ref[0] = jnp.concatenate(out_parts, axis=0)
+    for i in range(nr):
+        w_full, wd = _weights_chunk(grid, data, iref, dim, r, i)
+        img = _dot_nt(p0[i], w_full)  # [1+d(+2), RC]
+        mom = img[1 : 1 + dim, :]
+        for j in range(dim):
+            mom = mom + _dot_nt(a_cols[j][i], wd[j])
+        out_parts = [img[:1, :], mom]
+        if with_psi:
+            out_parts.append(img[1 + dim :, :])
+        out_ref[i] = jnp.concatenate(out_parts, axis=0)
 
 
 def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
@@ -326,20 +331,21 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     m = tab_f.shape[0]
+    nr = _r_of(cfg)
 
-    kernel = functools.partial(_p2g_kernel, grid, meta)
+    kernel = functools.partial(_p2g_kernel, grid, meta, nr)
     return pl.pallas_call(
         kernel,
-        grid=(d_,),
+        grid=(d_ // nr,),
         in_specs=[
-            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, nf_out, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (nr, nf_out, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=_out_shape((d_, nf_out, rc), jnp.float32, vma),
         interpret=interpret,
@@ -352,33 +358,31 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
 # ---------------------------------------------------------------------------
 
 
-def _mass_p2g_kernel(grid, slots_ref, ints_ref, out_ref):
+def _mass_p2g_kernel(grid, nr, slots_ref, ints_ref, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
-    data = slots_ref[0]
-    iref = ints_ref[0]
-    flags = _row(iref, L.I_FLAGS)
-    active = (flags & L.ACTIVE) != 0
-    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
-    contrib = (
-        active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
-    ).astype(jnp.float32)
-    w_full = _outer_full(w_axes)
-    out_ref[0] = _dot_nt(contrib * _row(data, r.mass), w_full)
+    data = slots_ref[...]
+    iref = ints_ref[...]
+    active = (iref[:, L.I_FLAGS, :] & L.ACTIVE) != 0
+    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+    contrib = (active & in_window & in_bounds).astype(jnp.float32)
+    m_c = contrib * data[:, r.mass, :]
+    for i in range(nr):
+        w_full, _ = _weights_chunk(grid, data, iref, dim, r, i)
+        out_ref[i] = _dot_nt(m_c[i : i + 1, :], w_full)
 
 
-def _mass_g2p_kernel(grid, slots_ref, ints_ref, win_ref, out_ref):
+def _mass_g2p_kernel(grid, nr, slots_ref, ints_ref, win_ref, out_ref):
     dim = grid.dim
-    data = slots_ref[0]
-    iref = ints_ref[0]
-    flags = _row(iref, L.I_FLAGS)
-    active = (flags & L.ACTIVE) != 0
-    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
-    contrib = (
-        active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
-    ).astype(jnp.float32)
-    w_full = _outer_full(w_axes)
-    out_ref[0] = contrib * _dot(win_ref[0], w_full)
+    r = L.Rows(dim)
+    data = slots_ref[...]
+    iref = ints_ref[...]
+    active = (iref[:, L.I_FLAGS, :] & L.ACTIVE) != 0
+    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+    contrib = (active & in_window & in_bounds).astype(jnp.float32)
+    for i in range(nr):
+        w_full, _ = _weights_chunk(grid, data, iref, dim, r, i)
+        out_ref[i] = contrib[i : i + 1, :] * _dot(win_ref[i], w_full)
 
 
 def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
@@ -387,15 +391,16 @@ def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
     rc = region_cells(grid.dim)
     d_ = cfg.max_chunks
     c = cfg.chunk_size
-    kernel = functools.partial(_mass_p2g_kernel, grid)
+    nr = _r_of(cfg)
+    kernel = functools.partial(_mass_p2g_kernel, grid, nr)
     return pl.pallas_call(
         kernel,
-        grid=(d_,),
+        grid=(d_ // nr,),
         in_specs=[
-            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((nr, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, rc), jnp.float32, vma),
         interpret=interpret,
     )(slots, ints)
@@ -407,16 +412,17 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
     rc = region_cells(grid.dim)
     d_ = cfg.max_chunks
     c = cfg.chunk_size
-    kernel = functools.partial(_mass_g2p_kernel, grid)
+    nr = _r_of(cfg)
+    kernel = functools.partial(_mass_g2p_kernel, grid, nr)
     return pl.pallas_call(
         kernel,
-        grid=(d_,),
+        grid=(d_ // nr,),
         in_specs=[
-            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, c), jnp.float32, vma),
         interpret=interpret,
     )(slots, ints, windows)
@@ -427,68 +433,80 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(grid, meta, params, slots_ref, ints_ref, win_ref, dt_ref,
+def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
                 tab_f, tab_i, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
     h = grid.cell_width
     invd = kernel_inv_d(h)
-    data = slots_ref[0]
-    iref = ints_ref[0]
+    data = slots_ref[...]  # [R, NF, C]
+    iref = ints_ref[...]
     dt = dt_ref[0, 0]
     with_psi = meta["with_psi"]
     m_count = meta["m_count"]
-    present_c = meta["present_c"]
     present_p = meta["present_p"]
     present_f = meta["present_f"]
+    row = lambda k: data[:, k, :]  # [R, C]
 
-    mid = _row(iref, L.I_MODEL)
-    flags = _row(iref, L.I_FLAGS)
+    mid = iref[:, L.I_MODEL, :]
+    flags = iref[:, L.I_FLAGS, :]
     active = (flags & L.ACTIVE) != 0
     is_static = (flags & L.STATIC) != 0
     kinematic = (flags & L.KINEMATIC) != 0
 
-    # --- gather ------------------------------------------------------------
-    w_axes, dpt_axes, in_window, bases = _window_weights(grid, data, iref, dim)
-    contrib = active & in_window[None, :] & _in_bounds(bases, grid.res)[None, :]
-    w_full, wd = _window_tensors(w_axes, dpt_axes)
-
-    win = win_ref[0]  # [d(+1), RC]
-    win_v = win[:dim, :]
-    vel_g = _dot(win_v, w_full)  # [d, C]
-    grads = [invd * _dot(win_v, wd[j]) for j in range(dim)]  # grads[j] rows i
+    # --- gather (per-chunk MXU dots, batched into [R, C] rows) --------------
+    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+    contrib = active & in_window & in_bounds
     contrib_f = contrib.astype(jnp.float32)
-    vel = [contrib_f * vel_g[i : i + 1, :] for i in range(dim)]
-    g = [[contrib_f * grads[j][i : i + 1, :] for j in range(dim)] for i in range(dim)]
+
+    gathered = []  # per chunk: [d + d*d (+1), C]
+    for i in range(nr):
+        w_full, wd = _weights_chunk(grid, data, iref, dim, r, i)
+        win = win_ref[i]  # [d(+1), RC]
+        win_v = win[:dim, :]
+        parts = [_dot(win_v, w_full)]  # [d, C]
+        for j in range(dim):
+            parts.append(invd * _dot(win_v, wd[j]))  # [d, C] (column j)
+        if with_psi:
+            parts.append(_dot(win[dim : dim + 1, :], w_full))
+        gathered.append(jnp.concatenate(parts, axis=0))
+    gath = jnp.stack(gathered, axis=0)  # [R, d + d*d (+1), C]
+
+    vel = [contrib_f * gath[:, i, :] for i in range(dim)]
+    # gath rows d.. are column-major blocks: block j holds rows i of grad[i][j].
+    g = [
+        [contrib_f * gath[:, dim + j * dim + i, :] for j in range(dim)]
+        for i in range(dim)
+    ]
     det = sum(g[j][j] for j in range(dim))
     if with_psi:
-        psi_mom = contrib_f * _dot(win[dim : dim + 1, :], w_full)
+        psi_mom = contrib_f * gath[:, dim + dim * dim, :]
     else:
         psi_mom = jnp.zeros_like(vel[0])
 
     # --- particle update (mirrors dense.particle_update_after_gather) ------
-    phase = _row(data, r.phase)
-    failed = _row(data, r.failed) != 0.0
-    mass = _row(data, r.mass)
-    vol0 = _row(data, r.vol0)
-    eh = _row(data, r.eh)
-    ph = _row(data, r.ph)
-    pdd = _row(data, r.pdd)
-    lvg = _row(data, r.lvg)
-    nacc_a = _row(data, r.nacc)
-    psi_pos = _row(data, r.psi_pos)
-    f = _mat(data, r.defgrad, dim)
+    phase = row(r.phase)
+    failed = row(r.failed) != 0.0
+    mass = row(r.mass)
+    vol0 = row(r.vol0)
+    eh = row(r.eh)
+    ph = row(r.ph)
+    pdd = row(r.pdd)
+    lvg = row(r.lvg)
+    nacc_a = row(r.nacc)
+    psi_pos = row(r.psi_pos)
+    f = _mat(row, r.defgrad, dim)
     ct = _select_itype(tab_i, mid, m_count, 0)
     is_fluid = ct == con.EOS_MONAGHAN_SPH
 
     if meta["damage_model"] == 3:  # DamageModel.MODIFIED_EIGENEROSION
-        cpf = _row(data, r.cpf)
+        cpf = row(r.cpf)
         crack_energy = cpf * h * psi_mom
-        trip = (cpf != 0.0) & (phase > 0.0) & (crack_energy > _row(data, r.cthr))
+        trip = (cpf != 0.0) & (phase > 0.0) & (crack_energy > row(r.cthr))
         phase = jnp.where(trip, 0.0, phase)
 
     # Advection (kinematic override + optional GPU CFL clamp).
-    kin = [_row(data, r.kinvel + ax) for ax in range(dim)]
+    kin = [row(r.kinvel + ax) for ax in range(dim)]
     vel = [jnp.where(kinematic, kin[i], vel[i]) for i in range(dim)]
     if params["gpu_velocity_clamp"]:
         over = None
@@ -498,7 +516,7 @@ def _g2p_kernel(grid, meta, params, slots_ref, ints_ref, win_ref, dt_ref,
         vel = [
             jnp.where(over, jnp.sign(vel[i]) * (h / dt), vel[i]) for i in range(dim)
         ]
-    pos = [_row(data, r.pos + ax) + vel[ax] * dt for ax in range(dim)]
+    pos = [row(r.pos + ax) + vel[ax] * dt for ax in range(dim)]
 
     # Deformation gradient update.
     gf = cmat.matmul_c(g, f)
@@ -565,6 +583,17 @@ def _g2p_kernel(grid, meta, params, slots_ref, ints_ref, win_ref, dt_ref,
             tripped = tripped | ((ft == fail.MAXIMUM_STRESS) & t)
         phase = jnp.where(tripped, 0.0, phase)
 
+    # Out-of-grid marking from the NEW positions — identical to the dense
+    # pipeline's top-of-next-substep mark (ref: particle_set.rs:132-135),
+    # applied one stage early so no extra pass over slot state is needed.
+    oob = None
+    for ax in range(dim):
+        xg = (pos[ax] - grid.origin[ax]) / h
+        base = jnp.round(xg).astype(jnp.int32) - 1
+        o = (base >= 0) & (base + 2 <= grid.res[ax] - 1)
+        oob = ~o if oob is None else (oob | ~o)
+    failed_new = failed_new | (active & oob)
+
     # Next substep's dt bound (ref: timestep_estimator.rs, fused to skip a
     # standalone pass over particle state).
     d_coeff = (h * h) / 4.0
@@ -588,12 +617,12 @@ def _g2p_kernel(grid, meta, params, slots_ref, ints_ref, win_ref, dt_ref,
     rows += [f[i][j] for i in range(dim) for j in range(dim)]
     rows += [mass, vol0, phase, psi_pos, pdd, ph, eh, lvg, nacc_a]
     rows += kin
-    rows += [_row(data, r.cpf), _row(data, r.cthr), bound,
-             failed_new.astype(jnp.float32), _row(data, r.radius0), par1, par2,
-             _row(data, r.m_c), _row(data, r.g), _row(data, r.debug)]
+    rows += [row(r.cpf), row(r.cthr), bound,
+             failed_new.astype(jnp.float32), row(r.radius0), par1, par2,
+             row(r.m_c), row(r.g), row(r.debug)]
     while len(rows) < r.nf:
         rows.append(zero)
-    out_ref[0] = jnp.concatenate(rows, axis=0)
+    out_ref[...] = jnp.stack(rows, axis=1)
 
 
 def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
@@ -606,21 +635,22 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
     c = cfg.chunk_size
     n_win = dim + (1 if meta["with_psi"] else 0)
     m = tab_f.shape[0]
+    nr = _r_of(cfg)
 
-    kernel = functools.partial(_g2p_kernel, grid, meta, params)
+    kernel = functools.partial(_g2p_kernel, grid, meta, params, nr)
     return pl.pallas_call(
         kernel,
-        grid=(d_,),
+        grid=(d_ // nr,),
         in_specs=[
-            pl.BlockSpec((1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_win, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, n_win, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=_out_shape((d_, r.nf, c), jnp.float32, vma),
         interpret=interpret,

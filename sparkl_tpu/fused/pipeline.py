@@ -157,24 +157,6 @@ class FusedMpmPipeline:
     def _active(self, state):
         return (state.ints[:, L.I_FLAGS, :] & L.ACTIVE) != 0
 
-    def _mark_out_of_grid(self, state):
-        """failed |= active & stencil-out-of-grid (rows; ref:
-        particle_set.rs:132-135 / dense.mark_out_of_grid_failed)."""
-        grid, r = self.grid, self._rows
-        d = grid.dim
-        h = grid.cell_width
-        res = grid.res
-        ok = None
-        for ax in range(d):
-            xg = (state.slots[:, r.pos + ax, :] - grid.origin[ax]) / h
-            base = jnp.round(xg).astype(jnp.int32) - 1
-            o = (base >= 0) & (base + 2 <= res[ax] - 1)
-            ok = o if ok is None else (ok & o)
-        failed = state.slots[:, r.failed, :] != 0.0
-        failed = failed | (self._active(state) & ~ok)
-        slots = state.slots.at[:, r.failed, :].set(failed.astype(jnp.float32))
-        return state.replace(slots=slots)
-
     # -- optional per-substep stages -------------------------------------------
 
     def _recompute_fluids(self, state):
@@ -387,7 +369,8 @@ class FusedMpmPipeline:
         overflow = overflow | ov
         peak = jnp.maximum(peak, state.structure.num_chunks)
 
-        state = self._mark_out_of_grid(state)
+        # Out-of-grid marking is folded into kernel B (from post-advection
+        # positions == the dense pipeline's top-of-next-substep mark).
 
         if params.force_fluids_volume_recomputation:
             state = self._recompute_fluids(state)
