@@ -429,6 +429,50 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 
 
 # ---------------------------------------------------------------------------
+# Slot permute kernel (the data movement of a resort)
+# ---------------------------------------------------------------------------
+
+
+def _permute_kernel(k_src, nr, g_ref, target_ref, out_ref):
+    """out[i][:, c] = g[i][target[c] // C, :, target[c] % C].
+
+    The lane shuffle is a 0/1 selection matmul on the MXU: for each of the
+    K gathered source chunks, build the [C, C] routing matrix from the
+    target row and accumulate dot(src_k, route_k). Out-of-range targets
+    (empty slots / overflow) select nothing -> zero rows.
+    """
+    c = out_ref.shape[2]
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    for i in range(nr):
+        tgt = target_ref[i, 0, :]  # [C] i32
+        acc = None
+        for k in range(k_src):
+            route = (iota_src + k * c == tgt[None, :]).astype(jnp.float32)
+            part = _dot(g_ref[i, k], route)  # [F, C]
+            acc = part if acc is None else acc + part
+        out_ref[i] = acc
+
+
+def permute_chunks(cfg, gathered, target, interpret=False, vma=None):
+    """gathered [D, K, F, C] + target [D, C] (k*C + lane, or >= K*C for
+    'empty') -> permuted [D, F, C]."""
+    d_, k_src, f, c = gathered.shape
+    nr = _r_of(cfg)
+    kernel = functools.partial(_permute_kernel, k_src, nr)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_ // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, k_src, f, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, f, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=_out_shape((d_, f, c), jnp.float32, vma),
+        interpret=interpret,
+    )(gathered, target.reshape(d_, 1, c))
+
+
+# ---------------------------------------------------------------------------
 # Kernel B: G2P + full particle update + next dt bound
 # ---------------------------------------------------------------------------
 
@@ -608,7 +652,10 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     )
     con_bound = jnp.where(failed_new, jnp.inf, con_bound)
     bound = jnp.minimum(vel_bound, con_bound)
+    # Slot rows are inf-free (layout.BIGF): inf would become NaN under the
+    # resort's selection matmuls.
     bound = jnp.where(active, bound, jnp.inf)
+    bound = jnp.minimum(bound, L.BIGF)
 
     # --- write the new slot tensor (row order = layout.Rows) ----------------
     rows = list(pos)

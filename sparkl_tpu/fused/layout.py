@@ -32,6 +32,12 @@ STATIC = 2
 KINEMATIC = 4
 OCCUPIED = 8
 
+# Slot rows never hold inf: the resort's 0/1-selection matmuls would turn
+# inf * 0 into NaN. Infinite values (crack_threshold, dt bounds) are stored
+# as the largest finite f32 — every comparison/min they participate in is
+# unchanged — and restored to inf on unpack.
+BIGF = float(np.finfo(np.float32).max)
+
 # Int row indices.
 I_MODEL = 0
 I_FLAGS = 1
@@ -206,6 +212,7 @@ def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb) -> SlotState:
     )
 
     packed = jnp.stack(_field_columns(r, p, dtb), axis=1)  # [N, NF]
+    packed = jnp.clip(packed, -BIGF, BIGF)  # inf-free slots (see BIGF)
     flat = jnp.where(slot_valid[:, None], packed[src], 0.0)
     slots = jnp.moveaxis(
         flat.reshape(cfg.max_chunks, cfg.chunk_size, r.nf), 1, 2
@@ -304,7 +311,9 @@ def unpack(grid: GridParams, cfg: BlockConfig, state: SlotState, capacity: int,
         parameter2=mat[:, r.par2],
         crack_propagation_factor=mat[:, r.cpf],
         crack_threshold=jnp.where(
-            (flags & OCCUPIED) != 0, mat[:, r.cthr], empty.crack_threshold
+            (flags & OCCUPIED) != 0,
+            jnp.where(mat[:, r.cthr] >= BIGF, jnp.inf, mat[:, r.cthr]),
+            empty.crack_threshold,
         ),
         m_c=jnp.where((flags & OCCUPIED) != 0, mat[:, r.m_c], empty.m_c),
         g=mat[:, r.g],
@@ -323,31 +332,109 @@ def unpack(grid: GridParams, cfg: BlockConfig, state: SlotState, capacity: int,
     )
 
 
-def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int):
+# Source-chunk locality bound for the fast resort permute: with the lazy
+# <1-cell-drift trigger, a destination chunk's particles come from its own
+# block's chunks plus immediate neighbors' — typically 2-6 source chunks.
+# Destinations needing more fall back (whole resort) to the generic
+# row-gather path via lax.cond.
+PERMUTE_SRC_CHUNKS = 8
+
+
+def _ints_to_f32(ints):
+    """[D, NI, C] i32 -> [D, 2*NI, C] f32 (exact 16-bit halves) so int rows
+    can ride the 0/1-selection-matmul permute (a direct f32 bitcast would
+    corrupt NaN patterns under x*1+0*y arithmetic)."""
+    u = jax.lax.bitcast_convert_type(ints, jnp.uint32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (u >> 16).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _f32_to_ints(x):
+    ni = x.shape[1] // 2
+    lo = x[:, :ni].astype(jnp.uint32)
+    hi = x[:, ni:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.int32)
+
+
+def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
+           interpret=False, vma=None):
     """Rebuild the block structure from current slot positions and permute
-    the packed state into the new slot order (ONE wide row-gather — the
-    fused pipeline's entire per-sort cost). Returns (state, overflow)."""
+    the packed state into the new slot order. Returns (state, overflow).
+
+    The permute exploits drift locality: whole source chunks are fetched
+    with ONE large-row gather ([D, K] rows of F*C floats) and lanes are
+    routed inside a Pallas kernel by 0/1-selection matmuls on the MXU —
+    ~6x cheaper than the naive per-slot row-gather, which remains as the
+    lax.cond fallback for pathological mixing (> K source chunks for some
+    destination chunk)."""
+    from sparkl_tpu.fused import kernels as K2
+
     r = Rows(dim)
     c = cfg.chunk_size
+    d_ = cfg.max_chunks
+    k_src = PERMUTE_SRC_CHUNKS
 
-    flat = jnp.moveaxis(state.slots, 1, 2).reshape(-1, r.nf)  # [S, NF]
-    iflat = jnp.moveaxis(state.ints, 1, 2).reshape(-1, NI)
-    pos = flat[:, r.pos : r.pos + dim]
-    flags = iflat[:, I_FLAGS]
+    pos = jnp.stack(
+        [state.slots[:, r.pos + ax, :].reshape(-1) for ax in range(dim)], axis=-1
+    )
+    flags = state.ints[:, I_FLAGS, :].reshape(-1)
     occupied = (flags & OCCUPIED) != 0
     active = occupied & ((flags & ACTIVE) != 0)
 
     structure, sort_order, chunk_start = S.build_slot_structure(
         grid, cfg, pos, active, occupied
     )
-    src, slot_valid = S.slot_source_index(
-        cfg, sort_order, chunk_start, structure.chunk_count
-    )
+    # Per-destination-chunk source slots: a contiguous slice of sort_order
+    # (vmapped dynamic slices — NOT an elementwise gather).
+    src = jax.vmap(lambda s: jax.lax.dynamic_slice(sort_order, (s,), (c,)))(
+        jnp.minimum(chunk_start, jnp.int32(d_ * c - c))
+    )  # [D, C]
+    lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
+    valid = lanes < structure.chunk_count[:, None]
 
-    new_flat = jnp.where(slot_valid[:, None], flat[src], 0.0)
-    new_iflat = jnp.where(slot_valid[:, None], iflat[src], 0)
-    slots = jnp.moveaxis(new_flat.reshape(cfg.max_chunks, c, r.nf), 1, 2)
-    ints = jnp.moveaxis(new_iflat.reshape(cfg.max_chunks, c, NI), 1, 2)
+    big = jnp.concatenate([state.slots, _ints_to_f32(state.ints)], axis=1)
+    f_all = big.shape[1]
+
+    sentinel = jnp.int32(2**30)
+    src_chunk = jnp.where(valid, src // c, sentinel)
+    # Per-destination-chunk unique source chunks (row-sorted run compaction).
+    sc_sorted = jnp.sort(src_chunk, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
+    )
+    flag = (sc_sorted != prev) & (sc_sorted < sentinel)
+    rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
+    kr = jnp.arange(k_src, dtype=jnp.int32)
+    onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
+    uniq = jnp.sum(jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1)  # [D, K]
+    nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
+    uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
+    k_overflow = jnp.any(nuniq > k_src)
+
+    eq = src_chunk[:, :, None] == uniq[:, None, :]  # [D, C, K]
+    k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
+    has = jnp.any(eq, axis=-1) & valid
+    src_lane = jnp.where(valid, src % c, 0)
+    target = jnp.where(has, k_of * c + src_lane, k_src * c)
+
+    def fast(_):
+        rows = big.reshape(d_, f_all * c)
+        g = rows[jnp.clip(uniq, 0, d_ - 1).reshape(-1)].reshape(
+            d_, k_src, f_all, c
+        )
+        return K2.permute_chunks(cfg, g, target, interpret=interpret, vma=vma)
+
+    def slow(_):
+        flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
+        sflat = jnp.where(valid, src, 0).reshape(-1)
+        nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
+        return jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+
+    newbig = jax.lax.cond(k_overflow, slow, fast, None)
+
+    slots = newbig[:, : r.nf, :]
+    ints = _f32_to_ints(newbig[:, r.nf :, :])
     ints = _write_origin_rows(ints, structure, dim)
 
     overflow = (

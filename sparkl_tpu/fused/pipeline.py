@@ -228,7 +228,7 @@ class FusedMpmPipeline:
         con_bound = jnp.where(failed, jnp.inf, con_bound)
         bound = jnp.minimum(vel_bound, con_bound)
         bound = jnp.where(self._active(state), bound, jnp.inf)
-        return slots.at[:, r.dtb, :].set(bound)
+        return slots.at[:, r.dtb, :].set(jnp.minimum(bound, L.BIGF))
 
     def _evolve_eigenerosion(self, state):
         """Eigenerosion on slot rows (ref: eigenerosion.rs:9-58). The
@@ -359,7 +359,10 @@ class FusedMpmPipeline:
         need = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
 
         def do_resort(s):
-            s2, ov = L.resort(grid, cfg, s, grid.dim)
+            s2, ov = L.resort(
+                grid, cfg, s, grid.dim,
+                interpret=self._interpret, vma=self._kernel_vma,
+            )
             return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         def no_resort(s):

@@ -206,78 +206,138 @@ def _project_capsule(p, a, b, radius):
 
 
 def _project_heightfield(p, heights, scale):
-    """Tangent-plane approximation of closest-point projection.
+    """Exact closest-point projection onto the triangulated heightfield.
 
-    Good for terrain-like fields (all reference scenes); the projection
-    direction follows the local surface normal n = normalize([-dh/dx, 1,
-    -dh/dz]), proj = p - sd·n with sd the plane-signed distance.
+    The surface is the piecewise-linear graph parry builds: in 2D, segments
+    between consecutive samples; in 3D, each cell split into two triangles
+    along its (i,k)->(i+1,k+1) diagonal. The query projects onto the exact
+    geometry of the 3x3 cells around its horizontal position (18 triangles /
+    3 segments) — exact wherever the closest point lies within one cell
+    horizontally, which covers every node the grid-update boundary logic can
+    act on (and matches a brute-force oracle in tests/test_scenes.py).
+    Ref: src_kernels/gpu_collider.rs:43-95 (parry projects onto the exact
+    triangles via BVH; the reference's terrain cells are grid-scale).
+
+    Table lookups are one-hot reductions/matmuls instead of element gathers:
+    XLA:TPU gathers cost ~8.5ns/element; the tables are tiny (~41 wide).
     """
     h = jnp.asarray(heights, p.dtype)
     s = jnp.asarray(scale, p.dtype)
     dim = p.shape[-1]
-    # Table lookups are one-hot reductions/matmuls instead of element gathers:
-    # XLA:TPU gathers cost ~8.5ns/element (4 per node made grid_update the
-    # second-hottest stage at sand3 scale); the tables are tiny (~41 wide).
     if dim == 2:
         nx = h.shape[0]
+        dx = s[0] / (nx - 1)
         # Local x in [-sx/2, sx/2] maps to [0, nx-1].
         u = (p[..., 0] / s[0] + 0.5) * (nx - 1)
-        u = jnp.clip(u, 0.0, nx - 1.000001)
-        i0 = jnp.floor(u).astype(jnp.int32)
-        fu = u - i0
+        uc = jnp.clip(u, 0.0, nx - 1.000001)
+        i0 = jnp.floor(uc).astype(jnp.int32)
         ids = jnp.arange(nx, dtype=jnp.int32)
-        oh0 = (ids == i0[..., None]).astype(p.dtype)  # [..., nx]
-        oh1 = (ids == jnp.minimum(i0 + 1, nx - 1)[..., None]).astype(p.dtype)
-        h0 = jnp.sum(oh0 * h, axis=-1)
-        h1 = jnp.sum(oh1 * h, axis=-1)
-        height = (h0 * (1 - fu) + h1 * fu) * s[1]
-        dhdx = (h1 - h0) * s[1] / (s[0] / (nx - 1))
-        n = jnp.stack([-dhdx, jnp.ones_like(dhdx)], axis=-1)
-        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        sd = (p[..., 1] - height) * n[..., 1]
-        proj = p - sd[..., None] * n
-        return proj, p[..., 1] < height
+
+        def corner(di):
+            idx = jnp.clip(i0 + di, 0, nx - 1)
+            oh = (ids == idx[..., None]).astype(p.dtype)
+            hy = jnp.sum(oh * h, axis=-1) * s[1]
+            x = (idx.astype(p.dtype) / (nx - 1) - 0.5) * s[0]
+            return jnp.stack([x, hy], axis=-1)  # [..., 2]
+
+        v = [corner(di) for di in range(-1, 3)]  # 4 corners -> 3 segments
+        best_d2 = None
+        best_proj = None
+        for k in range(3):
+            a, b = v[k], v[k + 1]
+            ab = b - a
+            t = jnp.sum((p - a) * ab, axis=-1) / jnp.maximum(
+                jnp.sum(ab * ab, axis=-1), 1e-20
+            )
+            t = jnp.clip(t, 0.0, 1.0)
+            cand = a + t[..., None] * ab
+            d2 = jnp.sum((p - cand) ** 2, axis=-1)
+            if best_d2 is None:
+                best_d2, best_proj = d2, cand
+            else:
+                pick = d2 < best_d2
+                best_d2 = jnp.where(pick, d2, best_d2)
+                best_proj = jnp.where(pick[..., None], cand, best_proj)
+
+        # Containment: below the (exact, piecewise-linear) surface.
+        fu = uc - i0
+        h0 = v[1][..., 1]
+        h1 = v[2][..., 1]
+        height = h0 * (1 - fu) + h1 * fu
+        return best_proj, p[..., 1] < height
     else:
         nx, nz = h.shape
         lead = p.shape[:-1]
         pf = p.reshape(-1, 3)
-        m = pf.shape[0]
         u = (pf[:, 0] / s[0] + 0.5) * (nx - 1)
         w = (pf[:, 2] / s[2] + 0.5) * (nz - 1)
-        u = jnp.clip(u, 0.0, nx - 1.000001)
-        w = jnp.clip(w, 0.0, nz - 1.000001)
-        i0 = jnp.floor(u).astype(jnp.int32)
-        k0 = jnp.floor(w).astype(jnp.int32)
-        fu = u - i0
-        fw = w - k0
+        uc = jnp.clip(u, 0.0, nx - 1.000001)
+        wc = jnp.clip(w, 0.0, nz - 1.000001)
+        i0 = jnp.floor(uc).astype(jnp.int32)
+        k0 = jnp.floor(wc).astype(jnp.int32)
+        fu = uc - i0
+        fw = wc - k0
 
         ix = jnp.arange(nx, dtype=jnp.int32)
-        oh_i0 = (ix == i0[:, None]).astype(pf.dtype)  # [M, nx]
-        oh_i1 = (ix == jnp.minimum(i0 + 1, nx - 1)[:, None]).astype(pf.dtype)
-        # Rows of the table at x-index i0 / i1: [M, nz] matmuls on the MXU.
-        row0 = jnp.dot(oh_i0, h, preferred_element_type=pf.dtype)
-        row1 = jnp.dot(oh_i1, h, preferred_element_type=pf.dtype)
-        hrow = row0 * (1 - fu)[:, None] + row1 * fu[:, None]  # height along z
-        drow = row1 - row0
-
         kz = jnp.arange(nz, dtype=jnp.int32)
-        oh_k0 = (kz == k0[:, None]).astype(pf.dtype)
-        oh_k1 = (kz == jnp.minimum(k0 + 1, nz - 1)[:, None]).astype(pf.dtype)
-        hk0 = jnp.sum(hrow * oh_k0, axis=-1)
-        hk1 = jnp.sum(hrow * oh_k1, axis=-1)
-        dk0 = jnp.sum(drow * oh_k0, axis=-1)
-        dk1 = jnp.sum(drow * oh_k1, axis=-1)
+        # 4 x-rows of the height table via MXU matmuls, then 4 z one-hots:
+        # the 16 corner heights of the 3x3-cell neighborhood.
+        rows = []
+        for di in range(-1, 3):
+            idx = jnp.clip(i0 + di, 0, nx - 1)
+            oh = (ix == idx[:, None]).astype(pf.dtype)
+            rows.append(jnp.dot(oh, h, preferred_element_type=pf.dtype))
+        ohk = []
+        for dk in range(-1, 3):
+            kdx = jnp.clip(k0 + dk, 0, nz - 1)
+            ohk.append((kz == kdx[:, None]).astype(pf.dtype))
 
-        height = (hk0 * (1 - fw) + hk1 * fw) * s[1]
-        dx = s[0] / (nx - 1)
-        dz = s[2] / (nz - 1)
-        dhdx = (dk0 * (1 - fw) + dk1 * fw) * s[1] / dx
-        dhdz = (hk1 - hk0) * s[1] / dz
-        n = jnp.stack([-dhdx, jnp.ones_like(dhdx), -dhdz], axis=-1)
-        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        sd = (pf[:, 1] - height) * n[:, 1]
-        proj = pf - sd[:, None] * n
-        return proj.reshape(lead + (3,)), (pf[:, 1] < height).reshape(lead)
+        def vert(di, dk):
+            idx = jnp.clip(i0 + di, 0, nx - 1)
+            kdx = jnp.clip(k0 + dk, 0, nz - 1)
+            hy = jnp.sum(rows[di + 1] * ohk[dk + 1], axis=-1) * s[1]
+            x = (idx.astype(pf.dtype) / (nx - 1) - 0.5) * s[0]
+            z = (kdx.astype(pf.dtype) / (nz - 1) - 0.5) * s[2]
+            return jnp.stack([x, hy, z], axis=-1)  # [M, 3]
+
+        verts = {(di, dk): vert(di, dk) for di in range(-1, 3) for dk in range(-1, 3)}
+
+        # 9 cells x 2 triangles, split along the (i,k)->(i+1,k+1) diagonal.
+        tris_a, tris_b, tris_c = [], [], []
+        for di in range(-1, 2):
+            for dk in range(-1, 2):
+                v00 = verts[(di, dk)]
+                v10 = verts[(di + 1, dk)]
+                v01 = verts[(di, dk + 1)]
+                v11 = verts[(di + 1, dk + 1)]
+                tris_a += [v00, v00]
+                tris_b += [v10, v11]
+                tris_c += [v11, v01]
+        a = jnp.stack(tris_a, axis=1)  # [M, 18, 3]
+        b = jnp.stack(tris_b, axis=1)
+        c = jnp.stack(tris_c, axis=1)
+
+        pt = _point_triangle_closest(pf[:, None, :], a, b, c)  # [M, 18, 3]
+        d2 = jnp.sum((pf[:, None, :] - pt) ** 2, axis=-1)
+        # Branch-free min-select (argmin + take_along_axis gathers are slow).
+        best_d2 = d2[:, 0]
+        proj = pt[:, 0, :]
+        for t in range(1, 18):
+            pick = d2[:, t] < best_d2
+            best_d2 = jnp.where(pick, d2[:, t], best_d2)
+            proj = jnp.where(pick[:, None], pt[:, t, :], proj)
+
+        # Containment: below the exact triangulated surface of the own cell.
+        h00 = verts[(0, 0)][:, 1]
+        h10 = verts[(1, 0)][:, 1]
+        h01 = verts[(0, 1)][:, 1]
+        h11 = verts[(1, 1)][:, 1]
+        in_a = fu >= fw  # triangle (v00, v10, v11) of the split
+        h_a = h00 + fu * (h10 - h00) + fw * (h11 - h10)
+        h_b = h00 + fw * (h01 - h00) + fu * (h11 - h01)
+        height = jnp.where(in_a, h_a, h_b)
+        inside = pf[:, 1] < height
+        return proj.reshape(lead + (3,)), inside.reshape(lead)
 
 
 def _project_polyline(p, pts):
@@ -311,17 +371,8 @@ def _project_polyline(p, pts):
     return proj, inside
 
 
-def _project_trimesh(p, tri):
-    """Closest point on a triangle soup + even-odd ray containment.
-
-    Ericson's point-triangle closest-point regions, vectorized over
-    [..., T] pairs; inside test casts a +x ray and counts crossings
-    (mesh must be closed for containment to be meaningful)."""
-    tri = jnp.asarray(tri, p.dtype)  # [T, 3, 3]
-    lead = p.shape[:-1]
-    pf = p.reshape(-1, 1, 3)  # [M, 1, 3]
-    a, b, c = tri[None, :, 0, :], tri[None, :, 1, :], tri[None, :, 2, :]
-
+def _point_triangle_closest(pf, a, b, c):
+    """Ericson's point-triangle closest point, broadcast over [..., 3]."""
     ab = b - a
     ac = c - a
     ap = pf - a
