@@ -418,6 +418,23 @@ def _point_triangle_closest(pf, a, b, c):
     pt = jnp.where(in_c[..., None], c + jnp.zeros_like(pt), pt)
     pt = jnp.where(in_b[..., None], b + jnp.zeros_like(pt), pt)
     pt = jnp.where(in_a[..., None], a + jnp.zeros_like(pt), pt)
+    return pt
+
+
+def _project_trimesh(p, tri):
+    """Closest point on a triangle soup + even-odd ray containment.
+
+    Vectorized over [points x T] pairs; the inside test casts a +x ray and
+    counts crossings (mesh must be closed for containment to be meaningful).
+    """
+    tri = jnp.asarray(tri, p.dtype)  # [T, 3, 3]
+    lead = p.shape[:-1]
+    pf = p.reshape(-1, 1, 3)  # [M, 1, 3]
+    a, b, c = tri[None, :, 0, :], tri[None, :, 1, :], tri[None, :, 2, :]
+    ab = b - a
+    ac = c - a
+
+    pt = _point_triangle_closest(pf, a, b, c)  # [M, T, 3]
 
     d2_all = jnp.sum((pf - pt) ** 2, axis=-1)  # [M, T]
     best = jnp.argmin(d2_all, axis=-1)

@@ -161,17 +161,18 @@ def fluids2(n=300):
 
 
 @sc.register_scene("l_panel2")
-def l_panel2():
+def l_panel2(cell_width=0.005, dt=1.0 / 6000.0):
     """Quasi-brittle L-panel fracture: two L-shaped concrete panels, one with
     Eigenerosion global crack propagation, one with MaximumStress local
     failure; Stick boundary, zero gravity, velocity-driven loading via a grid
     Dirichlet hook. Ref: examples2d/l_panel2.rs (E=25.85e9, nu=0.18,
     cell_width=0.005, dt=1/6000, crack factor 4.5 / threshold 89,
-    MaxStress(2.7e6))."""
+    MaxStress(2.7e6)). The cell_width/dt knobs scale the discretization for
+    tests/goldens; defaults match the reference exactly."""
     from sparkl_tpu.solver.pipeline import DirichletVelocityHook
 
     e, nu = 25.85e9, 0.18
-    h = 0.005
+    h = cell_width
     ground_height = h * 10.0
     ground_shift = h * 40.0
 
@@ -230,7 +231,7 @@ def l_panel2():
         colliders=colliders,
         particles=particles,
         params=SolverParameters(
-            dt=1.0 / 6000.0,
+            dt=dt,
             boundary_handling=BoundaryHandling.STICK,
             damage_model=DamageModel.EIGENEROSION,
         ),
