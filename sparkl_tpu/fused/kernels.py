@@ -433,30 +433,49 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 # ---------------------------------------------------------------------------
 
 
-def _permute_kernel(k_src, nr, g_ref, target_ref, out_ref):
-    """out[i][:, c] = g[i][target[c] // C, :, target[c] % C].
+def _permute_kernel(k_src, nr, g_ref, gi_ref, target_ref, out_ref, outi_ref):
+    """out[i][:, c] = g[i][target[c] // C, :, target[c] % C] (f32 rows), and
+    the same routing for the int rows.
 
     The lane shuffle is a 0/1 selection matmul on the MXU: for each of the
     K gathered source chunks, build the [C, C] routing matrix from the
     target row and accumulate dot(src_k, route_k). Out-of-range targets
-    (empty slots / overflow) select nothing -> zero rows.
+    (empty slots / overflow) select nothing -> zero rows. Int rows are split
+    into exact 16-bit float halves in VMEM (a raw f32 bitcast would corrupt
+    NaN patterns under the x*1 + y*0 arithmetic) and recombined after.
     """
     c = out_ref.shape[2]
     iota_src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     for i in range(nr):
         tgt = target_ref[i, 0, :]  # [C] i32
         acc = None
+        acc_lo = None
+        acc_hi = None
         for k in range(k_src):
             route = (iota_src + k * c == tgt[None, :]).astype(jnp.float32)
             part = _dot(g_ref[i, k], route)  # [F, C]
             acc = part if acc is None else acc + part
+            # int32 arithmetic throughout (Mosaic has no uint32<->f32 casts);
+            # the logical shift keeps the sign bit as data.
+            gi = gi_ref[i, k]
+            lo = _dot((gi & jnp.int32(0xFFFF)).astype(jnp.float32), route)
+            hi = _dot(
+                jax.lax.shift_right_logical(gi, 16).astype(jnp.float32), route
+            )
+            acc_lo = lo if acc_lo is None else acc_lo + lo
+            acc_hi = hi if acc_hi is None else acc_hi + hi
         out_ref[i] = acc
+        outi_ref[i] = acc_lo.astype(jnp.int32) | jax.lax.shift_left(
+            acc_hi.astype(jnp.int32), 16
+        )
 
 
-def permute_chunks(cfg, gathered, target, interpret=False, vma=None):
-    """gathered [D, K, F, C] + target [D, C] (k*C + lane, or >= K*C for
-    'empty') -> permuted [D, F, C]."""
+def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None):
+    """gathered [D, K, F, C] f32 + gathered_i [D, K, NI, C] i32 + target
+    [D, C] (k*C + lane, or >= K*C for 'empty') -> (permuted f32 [D, F, C],
+    permuted i32 [D, NI, C])."""
     d_, k_src, f, c = gathered.shape
+    ni = gathered_i.shape[2]
     nr = _r_of(cfg)
     kernel = functools.partial(_permute_kernel, k_src, nr)
     return pl.pallas_call(
@@ -464,12 +483,19 @@ def permute_chunks(cfg, gathered, target, interpret=False, vma=None):
         grid=(d_ // nr,),
         in_specs=[
             pl.BlockSpec((nr, k_src, f, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, k_src, ni, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nr, f, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=_out_shape((d_, f, c), jnp.float32, vma),
+        out_specs=(
+            pl.BlockSpec((nr, f, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, ni, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            _out_shape((d_, f, c), jnp.float32, vma),
+            _out_shape((d_, ni, c), jnp.int32, vma),
+        ),
         interpret=interpret,
-    )(gathered, target.reshape(d_, 1, c))
+    )(gathered, gathered_i, target.reshape(d_, 1, c))
 
 
 # ---------------------------------------------------------------------------

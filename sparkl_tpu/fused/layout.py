@@ -393,9 +393,6 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
     lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
     valid = lanes < structure.chunk_count[:, None]
 
-    big = jnp.concatenate([state.slots, _ints_to_f32(state.ints)], axis=1)
-    f_all = big.shape[1]
-
     sentinel = jnp.int32(2**30)
     src_chunk = jnp.where(valid, src // c, sentinel)
     # Per-destination-chunk unique source chunks (row-sorted run compaction).
@@ -419,22 +416,23 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
     target = jnp.where(has, k_of * c + src_lane, k_src * c)
 
     def fast(_):
-        rows = big.reshape(d_, f_all * c)
-        g = rows[jnp.clip(uniq, 0, d_ - 1).reshape(-1)].reshape(
-            d_, k_src, f_all, c
+        ids = jnp.clip(uniq, 0, d_ - 1).reshape(-1)
+        g = state.slots.reshape(d_, r.nf * c)[ids].reshape(d_, k_src, r.nf, c)
+        gi = state.ints.reshape(d_, NI * c)[ids].reshape(d_, k_src, NI, c)
+        return K2.permute_chunks(
+            cfg, g, gi, target, interpret=interpret, vma=vma
         )
-        return K2.permute_chunks(cfg, g, target, interpret=interpret, vma=vma)
 
     def slow(_):
+        big = jnp.concatenate([state.slots, _ints_to_f32(state.ints)], axis=1)
+        f_all = big.shape[1]
         flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
         sflat = jnp.where(valid, src, 0).reshape(-1)
         nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
-        return jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+        newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+        return newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
 
-    newbig = jax.lax.cond(k_overflow, slow, fast, None)
-
-    slots = newbig[:, : r.nf, :]
-    ints = _f32_to_ints(newbig[:, r.nf :, :])
+    slots, ints = jax.lax.cond(k_overflow, slow, fast, None)
     ints = _write_origin_rows(ints, structure, dim)
 
     overflow = (

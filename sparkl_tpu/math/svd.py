@@ -307,6 +307,23 @@ def svd_c(f):
     return svd3x3_c(f)
 
 
+def svd_values_c(f):
+    """Singular values only (unordered), skipping the U/V construction —
+    ~2x cheaper than svd_c; used where only invariants of F are needed
+    (corotated pos-energy)."""
+    d = len(f)
+    if d == 2:
+        _, s, _ = svd2x2_c(f)  # 2x2 closed form is already cheap
+        return s
+    # A = F^T F (symmetric), Jacobi eigenvalues, sqrt.
+    a = [
+        [sum(f[k][i] * f[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    lam = sym_eigvals3x3_c(a)
+    return [jnp.sqrt(jnp.maximum(x, 0.0)) for x in lam]
+
+
 def sym_eigvals2x2_c(m):
     """Eigenvalues of a symmetric 2x2 nested-list matrix (closed form)."""
     a, b, c = m[0][0], m[0][1], m[1][1]

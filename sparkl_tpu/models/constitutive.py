@@ -87,8 +87,10 @@ def corotated_pos_energy(lam, mu, hardening, f):
 
 
 def corotated_pos_energy_c(lam, mu, hardening, f):
+    from sparkl_tpu.math.svd import svd_values_c
+
     j = cmat.det_c(f)
-    _, s, _ = svd_c(f)
+    s = svd_values_c(f)  # order-free use; skips the U/V construction
     pos_dev = mu * hardening * sum(jnp.maximum(si - 1.0, 0.0) ** 2 for si in s)
     spherical = lam * hardening / 2.0 * (j - 1.0) ** 2
     return jnp.where(j < 1.0, pos_dev, pos_dev + spherical)

@@ -69,25 +69,17 @@ class DomainSparsePipeline(SparseMpmPipeline):
         axis: str = "x",
         max_halo_blocks: int = 256,
         max_migrants: int = 4096,
+        max_ghosts: int = 4096,
         **kw,
     ):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis,))
-        if params.damage_model in (DamageModel.EIGENEROSION, DamageModel.CD_MPM):
-            raise NotImplementedError(
-                "cross-device neighbor damage models are not wired yet; "
-                "use MODIFIED_EIGENEROSION or run single-device"
-            )
-        if params.force_fluids_volume_recomputation:
-            raise NotImplementedError(
-                "fluid volume recomputation needs its own halo pass; "
-                "run fluids single-device for now"
-            )
         self.mesh = mesh
         self.axis = axis
         self.n_shards = int(mesh.devices.size)
         self.max_halo_blocks = max_halo_blocks
         self.max_migrants = max_migrants
+        self.max_ghosts = max_ghosts
 
         bspace = B._block_space(grid)
         # Slab width in block columns (axis 0).
@@ -169,6 +161,7 @@ class DomainSparsePipeline(SparseMpmPipeline):
         super()._grow(factor)
         self.max_halo_blocks = int(self.max_halo_blocks * factor) + 64
         self.max_migrants = int(self.max_migrants * factor) + 64
+        self.max_ghosts = int(self.max_ghosts * factor) + 64
         self._jit = None
         self._ensure_cfg_jit_only()
 
@@ -191,7 +184,7 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
     def _sharded_step(self, p):
         p, niter, overflow, peak = self._step_impl(p)
-        overflow = jax.lax.pmax(overflow.astype(jnp.int32), self.axis) > 0
+        overflow = jax.lax.pmax(overflow, self.axis)  # int32 flag bits
         peak = jax.lax.pmax(peak, self.axis)
         return p, niter, overflow, peak
 
@@ -227,7 +220,7 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
             (p, total, ov, peak), _ = jax.lax.scan(
                 body,
-                (p, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                (p, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                  jnp.asarray(0, jnp.int32)),
                 None,
                 length=num_frames,
@@ -244,10 +237,11 @@ class DomainSparsePipeline(SparseMpmPipeline):
             self._jit_frames[key] = jax.jit(sharded)
         for _attempt in range(6):
             p, total, overflow, peak = self._jit_frames[key](particles)
-            if not bool(overflow):
+            flags = int(overflow)
+            if flags == 0:
                 self._adapt_capacity(int(peak), p)
                 return p, total
-            self._grow()
+            self._handle_overflow(flags)
             key = (num_frames, self._cfg)
         raise RuntimeError("block table capacity still overflowing after regrows")
 
@@ -376,3 +370,98 @@ class DomainSparsePipeline(SparseMpmPipeline):
         p, ov1 = insert(p, recv_from_left, ov_l | ov_r)
         p, ov2 = insert(p, recv_from_right, jnp.asarray(False))
         return p, ov1 | ov2
+
+    # -- cross-device damage -----------------------------------------------------
+
+    def _update_phase_field_p(self, p, dt):
+        """Distributed CD-MPM: every shard scatters its particles into the
+        dense CG grids, partial grids are psum-reduced (one reduction per CG
+        iteration for the matrix-free A·p), and each shard then runs an
+        identical CG — exact, not an approximation. The reference never runs
+        CD-MPM beyond one GPU (SURVEY §2.6); this is the TPU extension."""
+        from sparkl_tpu.solver.phase_field import update_phase_field
+
+        return update_phase_field(
+            self.grid, p, self.models, dt,
+            reduce_fn=lambda g: jax.lax.psum(g, self.axis),
+        )
+
+    def _evolve_eigenerosion_p(self, p):
+        """Distributed eigenerosion: exchange boundary-strip GHOST particles
+        (position + m·psi + m of eligible particles within 2 cells of the
+        slab boundary) with both neighbors via ppermute, then pool neighbor
+        sums over the extended population. Ghost outputs are discarded; their
+        contributions to local particles make the pooling exact across the
+        boundary (ref: eigenerosion.rs pools over exact 3^d neighborhoods)."""
+        from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
+        from sparkl_tpu.sparse.pipeline import OVERFLOW_TABLES, OVERFLOW_EIGEN
+
+        ax = self.axis
+        grid = self.grid
+        h = grid.cell_width
+        s_idx = jax.lax.axis_index(ax)
+        c0 = s_idx * self.cols_per_shard
+        c1 = jnp.minimum((s_idx + 1) * self.cols_per_shard, self._bspace[0])
+        x_lo = grid.origin[0] + c0.astype(jnp.float32) * B.BLOCK_SIDE * h
+        x_hi = grid.origin[0] + c1.astype(jnp.float32) * B.BLOCK_SIDE * h
+
+        eligible = (
+            (p.crack_propagation_factor != 0.0) & (p.phase > 0.0)
+            & ~p.failed & p.active
+        )
+        x = p.position[:, 0]
+        strip_l = eligible & (x < x_lo + 2.0 * h)
+        strip_r = eligible & (x >= x_hi - 2.0 * h)
+
+        d = p.dim
+        vals = jnp.stack([p.mass * p.psi_pos, p.mass], axis=-1)
+        payload = jnp.concatenate(
+            [p.position, vals, eligible[:, None].astype(jnp.float32)], axis=1
+        )  # [N, d + 3]
+
+        cap = self.max_ghosts
+
+        def pack(mask):
+            rows, sel, _ = _compact_rows(payload, mask, cap)
+            rows = rows * sel[:, None]
+            overflow = jnp.sum(mask.astype(jnp.int32)) > cap
+            return rows, overflow
+
+        send_l, ov_l = pack(strip_l)
+        send_r, ov_r = pack(strip_r)
+
+        n_dev = self.n_shards
+        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
+        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
+        ghosts_from_left = jax.lax.ppermute(send_r, ax, right_perm)
+        ghosts_from_right = jax.lax.ppermute(send_l, ax, left_perm)
+        ghosts = jnp.concatenate([ghosts_from_left, ghosts_from_right], axis=0)
+
+        pos_ext = jnp.concatenate([p.position, ghosts[:, :d]], axis=0)
+        vals_ext = jnp.concatenate([vals, ghosts[:, d : d + 2]], axis=0)
+        include_ext = jnp.concatenate(
+            [eligible, ghosts[:, d + 2] != 0.0], axis=0
+        )
+        pooled_ext, bucket_ov = neighbor_pair_sums(
+            grid, pos_ext, vals_ext, include_mask=include_ext,
+            radius=h, max_per_cell=self._eigen_k,
+        )
+        pooled = pooled_ext[: p.capacity]
+
+        parameter1 = p.parameter1 + jnp.where(eligible, pooled[:, 0], 0.0)
+        parameter2 = p.parameter2 + jnp.where(eligible, pooled[:, 1], 0.0)
+        has_crack = p.crack_propagation_factor != 0.0
+        safe2 = jnp.where(parameter2 > 0.0, parameter2, 1.0)
+        energy = parameter1 * p.crack_propagation_factor * h / safe2
+        trip = has_crack & (energy > p.crack_threshold)
+        p = p.replace(
+            parameter1=jnp.where(has_crack, energy, parameter1),
+            phase=jnp.where(trip, 0.0, p.phase),
+        )
+        # Strip-buffer overflow regrows tables (max_ghosts grows with them);
+        # bucket overflow regrows the eigenerosion bucket depth.
+        flags = (
+            (ov_l | ov_r).astype(jnp.int32) * OVERFLOW_TABLES
+            + bucket_ov.astype(jnp.int32) * OVERFLOW_EIGEN
+        )
+        return p, flags

@@ -65,8 +65,15 @@ def _scatter(grid, flat, vals):
     return out.at[flat.reshape(-1)].add(vals.reshape(-1), mode="drop")
 
 
-def update_phase_field(grid: GridParams, p, models, dt):
+def update_phase_field(grid: GridParams, p, models, dt, reduce_fn=None):
+    """`reduce_fn` sums grid-sized partial scatters across devices (e.g.
+    lax.psum under shard_map) — with it, every shard runs an identical CG on
+    the globally-reduced grid and only the matrix-free A·p scatter needs one
+    reduction per iteration. Ref: the reference runs CD-MPM single-GPU only;
+    this is the multi-chip extension (SURVEY §2.6)."""
     d = p.dim
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
     h = grid.cell_width
     invd = kernel_inv_d(h)
     l0 = 0.5 * h
@@ -74,22 +81,30 @@ def update_phase_field(grid: GridParams, p, models, dt):
     weights, flat, dpt = _transfer_geometry(grid, p)  # [N,K], [N,K], [N,K,d]
     dpt2 = jnp.sum(dpt * dpt, axis=-1)  # [N,K]
 
-    mobile = p.m_c > 0.0  # the reference's `m_c > 0` branch
-    volume = p.volume0 * linalg.det(p.deformation_gradient)
-    mc = p.m_c
+    # Inactive padding rows carry m_c = f32max (the reference's Real::MAX
+    # default); any addition overflows to inf and 0-weight * inf would
+    # poison the grids with NaN — zero their coefficient inputs instead.
+    act = p.active
+    mobile = (p.m_c > 0.0) & act  # the reference's `m_c > 0` branch
+    volume = jnp.where(act, p.volume0 * linalg.det(p.deformation_gradient), 0.0)
+    mc = jnp.where(act, jnp.minimum(p.m_c, 1e30), 0.0)
     inv_g = linalg.inv_exact(p.g)
 
     # ---- init P2G (phase_field.rs init_conjugate_gradient_p2g) ------------
     w_mobile = weights * mobile[:, None]
-    weight_sum = _scatter(grid, flat, w_mobile)
-    phase_num = _scatter(grid, flat, w_mobile * p.phase[:, None])
+    # One bundled cross-device reduction for every init scatter.
+    init = reduce_fn(jnp.stack([
+        _scatter(grid, flat, w_mobile),
+        _scatter(grid, flat, w_mobile * p.phase[:, None]),
+        _scatter(grid, flat, w_mobile * (volume * mc)[:, None]),
+        _scatter(grid, flat, w_mobile * volume[:, None]),
+        _scatter(grid, flat, (weights * (~mobile)[:, None]) * volume[:, None]),
+    ]))
+    weight_sum, phase_num, r_a, r_b, r_c = init
     cell_phase = phase_num * linalg.inv_exact(weight_sum)  # cg_init_c
 
     # r = sum_p V*(m_c)*w [mobile] + (sum_p V*w [mobile]) * cell_phase/dt
     #   + sum_p V*w [driven]
-    r_a = _scatter(grid, flat, w_mobile * (volume * mc)[:, None])
-    r_b = _scatter(grid, flat, w_mobile * volume[:, None])
-    r_c = _scatter(grid, flat, (weights * (~mobile)[:, None]) * volume[:, None])
     cg_r = r_a + r_b * cell_phase / dt + r_c
 
     # ---- Jacobi preconditioner (perform_preconditioning) -------------------
@@ -99,11 +114,14 @@ def update_phase_field(grid: GridParams, p, models, dt):
         volume * (4.0 * l0 * (1.0 - RESIDUAL_PHASE) * p.psi_pos * inv_g),
     )
     hii_coeff = jnp.where(mobile, volume * 4.0 * l0 * l0 * mc, volume * 4.0 * l0 * l0)
-    mii = _scatter(grid, flat, weights * mii_coeff[:, None])
-    hii = _scatter(
-        grid, flat, (weights * invd) * (weights * invd) * dpt2 * hii_coeff[:, None]
+    mii_hii = reduce_fn(
+        _scatter(grid, flat, weights * mii_coeff[:, None])
+        + _scatter(
+            grid, flat,
+            (weights * invd) * (weights * invd) * dpt2 * hii_coeff[:, None],
+        )
     )
-    cg_prec = linalg.inv_exact(mii + hii)
+    cg_prec = linalg.inv_exact(mii_hii)
     cg_p = cg_prec * cg_r
 
     # Operator Mii coefficient (compute_ap_g2p2g; note the +1 on the driven
@@ -113,7 +131,7 @@ def update_phase_field(grid: GridParams, p, models, dt):
         volume * (4.0 * l0 * mc * (1.0 - RESIDUAL_PHASE) * p.psi_pos * inv_g + mc + 1.0 / dt),
         volume * (4.0 * l0 * (1.0 - RESIDUAL_PHASE) * p.psi_pos * inv_g + 1.0),
     )
-    m_op_sum = _scatter(grid, flat, weights * m_op_coeff[:, None])
+    m_op_sum = reduce_fn(_scatter(grid, flat, weights * m_op_coeff[:, None]))
     grad_coeff = volume * 4.0 * l0 * l0 * jnp.where(mobile, mc, 1.0)  # [N]
 
     def apply_a(cg_p_grid):
@@ -123,9 +141,9 @@ def update_phase_field(grid: GridParams, p, models, dt):
             (grad_coeff[:, None] * invd * weights * cell_p)[..., None] * dpt, axis=1
         )
         # P2G: ap = Mii_sum * cg_p + sum_p inv_d * w * (phase_buf . dpt)
-        hterm = _scatter(
+        hterm = reduce_fn(_scatter(
             grid, flat, invd * weights * jnp.sum(phase_buf[:, None, :] * dpt, axis=-1)
-        )
+        ))
         return m_op_sum * cg_p_grid + hterm
 
     # ---- PCG loop (conjugate_gradient_step) --------------------------------

@@ -130,6 +130,12 @@ class SparseMpmPipeline:
         )
         nf_psi = 1 + dim + 2
         node = T.merge_images_to_grid(grid, cfg, structure, images)
+        halo_ov = jnp.asarray(False)
+        if self._halo_fn is not None:
+            # Mass-channel halo: boundary columns' partial masses summed
+            # across shards before the density gather (the multi-chip
+            # extension of fluids_volume.rs).
+            node, halo_ov = self._halo_fn(node, structure)
         node = node.reshape(cfg.max_grid_blocks + 1, nf_psi, cpb)
         mass_g = node[:, 0, :]
         # Gather through the psi channel of the window machinery.
@@ -153,7 +159,23 @@ class SparseMpmPipeline:
         f = f.at[:, 0, 0].set(
             jnp.where(is_fluid & p.active, new_volume / p.volume0, f[:, 0, 0])
         )
-        return p.replace(deformation_gradient=f)
+        return p.replace(deformation_gradient=f), halo_ov
+
+    def _evolve_eigenerosion_p(self, p):
+        """Eigenerosion damage pass returning (p, overflow_flags int32);
+        the domain subclass overrides this to exchange boundary-strip ghost
+        particles first."""
+        from sparkl_tpu.solver.eigenerosion import evolve_eigenerosion
+
+        p, ov = evolve_eigenerosion(self.grid, p, self._eigen_k)
+        return p, ov.astype(jnp.int32) * OVERFLOW_EIGEN
+
+    def _update_phase_field_p(self, p, dt):
+        """CD-MPM phase-field CG (dense-grid formulation); the domain
+        subclass supplies a cross-shard grid reduction."""
+        from sparkl_tpu.solver.phase_field import update_phase_field
+
+        return update_phase_field(self.grid, p, self.models, dt)
 
     @property
     def _with_psi(self):
@@ -362,7 +384,8 @@ class SparseMpmPipeline:
             peak = jnp.maximum(peak, structure.num_chunks)
 
             if params.force_fluids_volume_recomputation:
-                p = self._recompute_fluids_sparse(p, structure, inv_perm)
+                p, fv_ov = self._recompute_fluids_sparse(p, structure, inv_perm)
+                overflow = overflow | fv_ov.astype(jnp.int32) * OVERFLOW_TABLES
 
             max_dt = jnp.minimum(remaining, params.max_substep_dt)
             dt = dense.adaptive_timestep(grid, p, models, max_dt)
@@ -371,10 +394,10 @@ class SparseMpmPipeline:
             dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
             if params.damage_model == DamageModel.EIGENEROSION:
-                from sparkl_tpu.solver.eigenerosion import evolve_eigenerosion
-
-                p, eig_ov = evolve_eigenerosion(grid, p, self._eigen_k)
-                overflow = overflow | eig_ov.astype(jnp.int32) * OVERFLOW_EIGEN
+                p, eig_flags = self._evolve_eigenerosion_p(p)
+                overflow = overflow | eig_flags
+            elif params.damage_model == DamageModel.CD_MPM:
+                p = self._update_phase_field_p(p, dt)
 
             p, ov = self._substep(p, dt, structure, inv_perm)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
