@@ -82,10 +82,15 @@ class DomainSparsePipeline(SparseMpmPipeline):
         self.max_ghosts = max_ghosts
 
         bspace = B._block_space(grid)
-        # Slab width in block columns (axis 0).
-        self.cols_per_shard = -(-bspace[0] // self.n_shards)
         self._bspace = bspace
         self._col_stride = int(np.prod(bspace[1:])) if len(bspace) > 1 else 1
+        # Slab boundaries in block columns (axis 0): shard s owns columns
+        # [col_bounds[s], col_bounds[s+1]). Uniform by default; rebalance()
+        # re-splits them from the particle distribution.
+        w = -(-bspace[0] // self.n_shards)
+        self.col_bounds = np.minimum(
+            np.arange(self.n_shards + 1, dtype=np.int32) * w, bspace[0]
+        )
 
         super().__init__(grid, models, colliders, params, gravity, hooks, **kw)
         self._halo_fn = self._halo_exchange
@@ -102,7 +107,8 @@ class DomainSparsePipeline(SparseMpmPipeline):
         """Owning shard id per particle (host or device side)."""
         key, ok = B.particle_block_key(self.grid, position, active)
         col = key // self._col_stride
-        shard = jnp.clip(col // self.cols_per_shard, 0, self.n_shards - 1)
+        bounds = jnp.asarray(self.col_bounds[1:-1], jnp.int32)  # inner edges
+        shard = jnp.searchsorted(bounds, col, side="right").astype(jnp.int32)
         return jnp.where(ok, shard, -1)
 
     def distribute(self, particles, capacity_per_shard=None):
@@ -260,8 +266,9 @@ class DomainSparsePipeline(SparseMpmPipeline):
         ax = self.axis
         cfg = self._cfg
         s_idx = jax.lax.axis_index(ax)
-        c0 = s_idx * self.cols_per_shard
-        c1 = jnp.minimum((s_idx + 1) * self.cols_per_shard, self._bspace[0])
+        bounds = jnp.asarray(self.col_bounds, jnp.int32)
+        c0 = bounds[s_idx]
+        c1 = bounds[s_idx + 1]
 
         keys = structure.grid_keys  # [MGB]
         cols = self._block_col(keys)
@@ -400,8 +407,9 @@ class DomainSparsePipeline(SparseMpmPipeline):
         grid = self.grid
         h = grid.cell_width
         s_idx = jax.lax.axis_index(ax)
-        c0 = s_idx * self.cols_per_shard
-        c1 = jnp.minimum((s_idx + 1) * self.cols_per_shard, self._bspace[0])
+        bounds = jnp.asarray(self.col_bounds, jnp.int32)
+        c0 = bounds[s_idx]
+        c1 = bounds[s_idx + 1]
         x_lo = grid.origin[0] + c0.astype(jnp.float32) * B.BLOCK_SIDE * h
         x_hi = grid.origin[0] + c1.astype(jnp.float32) * B.BLOCK_SIDE * h
 
@@ -465,3 +473,53 @@ class DomainSparsePipeline(SparseMpmPipeline):
             + bucket_ov.astype(jnp.int32) * OVERFLOW_EIGEN
         )
         return p, flags
+
+    # -- load rebalancing ---------------------------------------------------------
+
+    def rebalance(self, particles, capacity_per_shard=None, tolerance=2.0):
+        """Re-split the slab boundaries so per-shard particle counts stay
+        balanced (host-side, frame-boundary; ref: the reference has no
+        rebalancing — its testbed caps at 1 GPU — this is the TPU-native
+        scaling extension, SURVEY §2.6). Returns a re-distributed particle
+        pytree; call between frames when a drifting pile skews the counts
+        (e.g. when max/mean shard count exceeds `tolerance`).
+
+        Recompiles the step on the new boundaries only when they changed.
+        """
+        import numpy as onp
+
+        pos = onp.asarray(particles.position)
+        act = onp.asarray(particles.active)
+        key, ok = B.particle_block_key(self.grid, particles.position, particles.active)
+        col = onp.asarray(key // self._col_stride)
+        col = col[onp.asarray(ok)]
+        ncols = self._bspace[0]
+        hist = onp.bincount(col, minlength=ncols).astype(onp.int64)
+        csum = onp.concatenate([[0], onp.cumsum(hist)])
+        total = csum[-1]
+        # Equal-count split points, snapped to column boundaries.
+        bounds = [0]
+        for sshard in range(1, self.n_shards):
+            want = total * sshard / self.n_shards
+            c = int(onp.searchsorted(csum, want))
+            c = max(bounds[-1] + 1, min(c, ncols - (self.n_shards - sshard)))
+            bounds.append(c)
+        bounds.append(ncols)
+        new_bounds = onp.asarray(bounds, onp.int32)
+        if not onp.array_equal(new_bounds, self.col_bounds):
+            self.col_bounds = new_bounds
+            self._jit = None
+            self._jit_frames = {}
+            self._ensure_cfg_jit_only()
+        return self.distribute(particles, capacity_per_shard)
+
+    def shard_counts(self, particles):
+        """Per-shard active-particle counts (host-side diagnostics)."""
+        import numpy as onp
+
+        shard = onp.asarray(
+            self.shard_of_positions(particles.position, particles.active)
+        )
+        return onp.asarray(
+            [(shard == sidx).sum() for sidx in range(self.n_shards)]
+        )

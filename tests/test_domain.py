@@ -300,3 +300,50 @@ def test_domain_cdmpm_matches_single():
     np.testing.assert_allclose(ph_s, ph_d, atol=1e-5)
     # CD-MPM must actually evolve the phase for the test to mean anything.
     assert (ph_s < 1.0).sum() > 0
+
+
+def test_domain_rebalance_drifting_pile():
+    """Load rebalancing: a pile crammed into one slab gets re-split so shard
+    counts stay within 2x of the mean, and the rebalanced run still matches
+    the single-device trajectory."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(128, 32, 32))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    # All particles in the left third of the domain (spanning ~10 block
+    # columns): uniform slabs give most shards nothing.
+    p = sk.cube_particles(
+        origin=(0.8, 1.5, 1.2), counts=(72, 8, 8), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    gravity = [0.0, -9.81, 0.0]
+
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    counts_uniform = dom.shard_counts(p)
+    pd = dom.rebalance(p)
+    counts_bal = dom.shard_counts(p)  # bounds updated in place
+    n_active = int(np.asarray(p.active).sum())
+    mean = n_active / dom.n_shards
+    assert counts_bal.max() <= 2.0 * mean, (counts_uniform, counts_bal)
+    assert counts_bal.max() < counts_uniform.max()
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(pd)
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, _ = _sorted_state(ps)
+    pos_d, vel_d, _ = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
