@@ -166,12 +166,18 @@ class Rows:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SlotState:
-    """Slot-resident particle population + its sparse structure."""
+    """Slot-resident particle population + its sparse structure.
+
+    `grid_cache` holds structure-derived grid data (node positions and the
+    per-collider node projections) computed once per resort and carried
+    across substeps — the reference's projection cache
+    (ref: reset_grid.rs copy_grid_projection_data)."""
 
     slots: jax.Array  # [D, NF, C] f32
     ints: jax.Array  # [D, NI, C] i32
     structure: S.SlotStructure
     cum_disp: jax.Array  # [] f32 — max displacement accumulated since sort
+    grid_cache: tuple
 
     def replace(self, **kw):
         from dataclasses import replace as _r
@@ -198,9 +204,11 @@ def _field_columns(r: Rows, p: Particles, dtb):
     return cols
 
 
-def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb) -> SlotState:
+def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb,
+         cache_fn=None) -> SlotState:
     """Particles (original order) -> slot state. `dtb` = per-particle dt
-    bounds [N] (dense.particle_dt_bounds), carried as a state row."""
+    bounds [N] (dense.particle_dt_bounds), carried as a state row; `cache_fn`
+    (structure -> grid_cache) builds the carried grid-side cache."""
     r = Rows(p.dim)
     d = p.dim
 
@@ -240,6 +248,7 @@ def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb) -> SlotState:
         ints=ints,
         structure=structure,
         cum_disp=jnp.asarray(0.0, jnp.float32),
+        grid_cache=cache_fn(structure) if cache_fn else (),
     )
 
 
@@ -358,7 +367,7 @@ def _f32_to_ints(x):
 
 
 def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
-           interpret=False, vma=None):
+           interpret=False, vma=None, cache_fn=None):
     """Rebuild the block structure from current slot positions and permute
     the packed state into the new slot order. Returns (state, overflow).
 
@@ -445,5 +454,6 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
         ints=ints,
         structure=structure,
         cum_disp=jnp.asarray(0.0, jnp.float32),
+        grid_cache=cache_fn(structure) if cache_fn else (),
     )
     return new_state, overflow

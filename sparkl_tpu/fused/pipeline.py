@@ -303,10 +303,7 @@ class FusedMpmPipeline:
         inv_mass = linalg.inv_exact(mass)
         velocity = (mom + mass[..., None] * self.gravity * dt) * inv_mass[..., None]
 
-        node_pos = S.block_node_positions_ob2(grid, state.structure.grid_keys)
-        node_pos = jnp.concatenate(
-            [node_pos, jnp.full((1, cpb, dim), 1.0e10, jnp.float32)], axis=0
-        )
+        node_pos, projections = state.grid_cache
         gstate = GridState(
             mass=mass,
             momentum=mom,
@@ -317,6 +314,7 @@ class FusedMpmPipeline:
         gstate = dense.grid_update(
             grid, gstate, self.colliders, dt, params.boundary_handling,
             params.simulation_dofs, node_positions=node_pos,
+            projections=projections,
         )
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
@@ -362,6 +360,7 @@ class FusedMpmPipeline:
             s2, ov = L.resort(
                 grid, cfg, s, grid.dim,
                 interpret=self._interpret, vma=self._kernel_vma,
+                cache_fn=self._grid_cache,
             )
             return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
 
@@ -433,10 +432,25 @@ class FusedMpmPipeline:
 
     # -- public API -------------------------------------------------------------
 
+    def _grid_cache(self, structure):
+        """Structure-derived grid data carried across substeps: node
+        positions + per-collider node projections (the reference's
+        projection cache, reset_grid.rs:29-63)."""
+        grid, cfg = self.grid, self._cfg
+        dim = grid.dim
+        cpb = B.cells_per_block(dim)
+        node_pos = S.block_node_positions_ob2(grid, structure.grid_keys)
+        node_pos = jnp.concatenate(
+            [node_pos, jnp.full((1, cpb, dim), 1.0e10, jnp.float32)], axis=0
+        )
+        projections = dense.grid_node_projections(self.colliders, node_pos)
+        return (node_pos, projections)
+
     def _pack(self, particles):
         particles = dense.mark_out_of_grid_failed(self.grid, particles)
         dtb = dense.particle_dt_bounds(self.grid, particles, self.models)
-        return L.pack(self.grid, self._cfg, particles, dtb)
+        return L.pack(self.grid, self._cfg, particles, dtb,
+                      cache_fn=self._grid_cache)
 
     def _unpack(self, state, capacity):
         return L.unpack(self.grid, self._cfg, state, capacity, self.grid.dim)

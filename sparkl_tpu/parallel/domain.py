@@ -4,24 +4,27 @@ The TPU-native equivalent of the reference's multi-GPU pipeline
 (ref: sparkl SURVEY §2.6 / `src/cuda/cuda_sparse_grid.rs:255-322` halo
 tagging, `cuda_mpm_pipeline.rs:407-533` halo g2p2g + staged D2D copies +
 `merge_halo_blocks` additive reduction): the grid's block space is split
-into contiguous slabs of block columns along axis 0, one slab per device in
-a 1D `Mesh`. Everything runs under one `shard_map`:
+into contiguous slabs of block columns along grid axis 0 (1D mesh) or into
+a 2D grid of tiles (2D mesh over grid axes 0 and d-1). Everything runs
+under one `shard_map`:
 
-  * each device owns the particles inside its slab (fixed per-device
+  * each device owns the particles inside its tile (fixed per-device
     capacity) and builds its own sparse block structure with GLOBAL block
     keys — cross-device identity is by key, not index;
-  * after local P2G, the two boundary block columns are exchanged with
-    `lax.ppermute` over ICI and merged additively by key match — each
-    device then holds exact totals for every block its particles read, so
-    grid update and G2P are purely local and bit-identical across devices;
+  * after local P2G, boundary block layers are exchanged with `lax.ppermute`
+    over ICI and merged additively by key match, one mesh axis at a time —
+    the second axis forwards already-merged rows, so corner contributions
+    arrive through the edge neighbors (standard additive-halo forwarding);
   * dt is `lax.pmin`-reduced (the reference's cross-device fixed-point
     atomic min);
-  * particles that advect across a slab boundary migrate by `ppermute` at
-    the start of the next substep (CFL guarantees <= 1 cell of drift per
-    substep, far less than the one-block halo depth).
+  * particles that advect across a tile boundary migrate by `ppermute` at
+    the start of the next substep, one axis hop at a time (CFL guarantees
+    <= 1 cell of drift per substep, far less than the one-block halo depth).
 
-Fixed-capacity send buffers (halo blocks, migrants) overflow into the same
-host-side regrow-and-retry loop as the block tables.
+Slab/tile boundaries are explicit per-axis bounds arrays; `rebalance()`
+re-splits them from the particle distribution at frame boundaries. Fixed-
+capacity send buffers (halo rows, migrants, damage ghosts) overflow into
+the same host-side regrow-and-retry loop as the block tables.
 """
 
 from functools import partial
@@ -35,7 +38,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sparkl_tpu.core.grid import GridParams
 from sparkl_tpu.core.params import DamageModel, SolverParameters
 from sparkl_tpu.sparse import blocks as B
-from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
+from sparkl_tpu.sparse.pipeline import (
+    SparseMpmPipeline,
+    OVERFLOW_TABLES,
+    OVERFLOW_EIGEN,
+)
 
 
 def _compact_rows(values, flags, capacity):
@@ -55,7 +62,12 @@ def _compact_rows(values, flags, capacity):
 
 
 class DomainSparsePipeline(SparseMpmPipeline):
-    """SparseMpmPipeline sharded over slab domains on a 1D device mesh."""
+    """SparseMpmPipeline sharded over slab/tile domains on a 1D or 2D mesh.
+
+    1D (default): `Mesh(devices, ("x",))` — slabs of block columns along
+    grid axis 0. 2D: `Mesh(devices.reshape(a, b), ("x", "z"))` — tiles over
+    grid axes 0 and d-1.
+    """
 
     def __init__(
         self,
@@ -75,7 +87,9 @@ class DomainSparsePipeline(SparseMpmPipeline):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis,))
         self.mesh = mesh
-        self.axis = axis
+        self.mesh_axes = tuple(mesh.axis_names)
+        self.mesh_shape = tuple(int(mesh.shape[a]) for a in self.mesh_axes)
+        self.axis = self.mesh_axes[0]  # kept for back-compat call sites
         self.n_shards = int(mesh.devices.size)
         self.max_halo_blocks = max_halo_blocks
         self.max_migrants = max_migrants
@@ -83,37 +97,65 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
         bspace = B._block_space(grid)
         self._bspace = bspace
-        self._col_stride = int(np.prod(bspace[1:])) if len(bspace) > 1 else 1
-        # Slab boundaries in block columns (axis 0): shard s owns columns
-        # [col_bounds[s], col_bounds[s+1]). Uniform by default; rebalance()
-        # re-splits them from the particle distribution.
-        w = -(-bspace[0] // self.n_shards)
-        self.col_bounds = np.minimum(
-            np.arange(self.n_shards + 1, dtype=np.int32) * w, bspace[0]
+        if len(self.mesh_axes) == 1:
+            self.decomp_gaxes = (0,)
+        elif len(self.mesh_axes) == 2:
+            self.decomp_gaxes = (0, grid.dim - 1)
+        else:
+            raise ValueError("1D or 2D meshes only")
+        # Per-grid-axis block-key strides.
+        self._strides = tuple(
+            int(np.prod(bspace[g + 1 :])) if g + 1 < len(bspace) else 1
+            for g in range(len(bspace))
         )
+        # Per-mesh-axis tile boundaries in block coordinates: mesh axis i's
+        # shard s owns block coords [bounds[i][s], bounds[i][s+1]) along
+        # decomp_gaxes[i]. Uniform by default; rebalance() re-splits.
+        self.bounds = []
+        for g, size in zip(self.decomp_gaxes, self.mesh_shape):
+            w = -(-bspace[g] // size)
+            self.bounds.append(
+                np.minimum(np.arange(size + 1, dtype=np.int32) * w, bspace[g])
+            )
 
         super().__init__(grid, models, colliders, params, gravity, hooks, **kw)
         self._halo_fn = self._halo_exchange
-        self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.axis)
+        self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.mesh_axes)
         self._migrate_fn = self._migrate
-        self._pvary = lambda x: jax.lax.pcast(x, (self.axis,), to="varying")
+        self._pvary = lambda x: jax.lax.pcast(x, self.mesh_axes, to="varying")
         # pallas_call outputs inside shard_map must declare their mesh-axis
         # variance explicitly (ShapeDtypeStruct vma under check_vma).
-        self._kernel_vma = (self.axis,)
+        self._kernel_vma = self.mesh_axes
 
     # -- shard helpers --------------------------------------------------------
 
+    def _block_coord(self, keys, g):
+        """Block coordinate along grid axis g from linear keys."""
+        return (keys // self._strides[g]) % self._bspace[g]
+
+    def _axis_shard_of(self, keys, i):
+        """Owning shard index along mesh axis i per block key."""
+        coord = self._block_coord(keys, self.decomp_gaxes[i])
+        inner = jnp.asarray(self.bounds[i][1:-1], jnp.int32)
+        return jnp.searchsorted(inner, coord, side="right").astype(jnp.int32)
+
     def shard_of_positions(self, position, active):
-        """Owning shard id per particle (host or device side)."""
+        """Owning flat shard id per particle (host or device side)."""
         key, ok = B.particle_block_key(self.grid, position, active)
-        col = key // self._col_stride
-        bounds = jnp.asarray(self.col_bounds[1:-1], jnp.int32)  # inner edges
-        shard = jnp.searchsorted(bounds, col, side="right").astype(jnp.int32)
-        return jnp.where(ok, shard, -1)
+        flat = jnp.zeros(key.shape, jnp.int32)
+        for i in range(len(self.mesh_axes)):
+            flat = flat * self.mesh_shape[i] + self._axis_shard_of(key, i)
+        return jnp.where(ok, flat, -1)
+
+    def _my_flat_shard(self):
+        flat = jnp.asarray(0, jnp.int32)
+        for i, a in enumerate(self.mesh_axes):
+            flat = flat * self.mesh_shape[i] + jax.lax.axis_index(a)
+        return flat
 
     def distribute(self, particles, capacity_per_shard=None):
         """Split a global particle set into the [S, cap] sharded layout and
-        device_put it across the mesh (axis 0 = shard)."""
+        device_put it across the mesh (leading dim = flattened mesh)."""
         import numpy as onp
         from sparkl_tpu.core.particles import Particles
 
@@ -133,7 +175,7 @@ class DomainSparsePipeline(SparseMpmPipeline):
                 dst[s, : len(sel)] = src[sel]
             out[name] = jnp.asarray(dst.reshape((self.n_shards * cap,) + src.shape[1:]))
         p = Particles(**out)
-        sharding = NamedSharding(self.mesh, P(self.axis))
+        sharding = NamedSharding(self.mesh, P(self.mesh_axes))
         return jax.device_put(p, sharding)
 
     def _ensure_cfg(self, p):
@@ -172,11 +214,12 @@ class DomainSparsePipeline(SparseMpmPipeline):
         self._ensure_cfg_jit_only()
 
     def _ensure_cfg_jit_only(self):
+        spec = P(self.mesh_axes)
         sharded = jax.shard_map(
             self._sharded_step,
             mesh=self.mesh,
-            in_specs=(P(self.axis),),
-            out_specs=(P(self.axis), P(), P(), P()),
+            in_specs=(spec,),
+            out_specs=(spec, P(), P(), P()),
         )
         self._jit = jax.jit(sharded)
 
@@ -190,8 +233,8 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
     def _sharded_step(self, p):
         p, niter, overflow, peak = self._step_impl(p)
-        overflow = jax.lax.pmax(overflow, self.axis)  # int32 flag bits
-        peak = jax.lax.pmax(peak, self.axis)
+        overflow = jax.lax.pmax(overflow, self.mesh_axes)  # int32 flag bits
+        peak = jax.lax.pmax(peak, self.mesh_axes)
         return p, niter, overflow, peak
 
     def run_frames(
@@ -234,11 +277,12 @@ class DomainSparsePipeline(SparseMpmPipeline):
             return p, total, ov, peak
 
         if key not in self._jit_frames:
+            spec = P(self.mesh_axes)
             sharded = jax.shard_map(
                 frames_body,
                 mesh=self.mesh,
-                in_specs=(P(self.axis),),
-                out_specs=(P(self.axis), P(), P(), P()),
+                in_specs=(spec,),
+                out_specs=(spec, P(), P(), P()),
             )
             self._jit_frames[key] = jax.jit(sharded)
         for _attempt in range(6):
@@ -253,78 +297,88 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
     # -- halo exchange ---------------------------------------------------------
 
-    def _block_col(self, keys):
-        return keys // self._col_stride
+    def _neighbor_perms(self, i):
+        """ppermute pairs along mesh axis i (non-circular)."""
+        size = self.mesh_shape[i]
+        right = [(k, k + 1) for k in range(size - 1)]
+        left = [(k + 1, k) for k in range(size - 1)]
+        return right, left
 
     def _halo_exchange(self, node, structure):
-        """Additive merge of boundary-column block rows with both neighbors.
+        """Additive merge of boundary block layers with neighbors, one mesh
+        axis at a time. The second axis sends rows that already include the
+        first axis's merged contributions, so corner blocks accumulate all
+        four quadrants' partials (additive-halo forwarding).
 
-        node: [MGB+1, F*cpb] local partial sums. For shard s owning columns
-        [c0, c1): send partials of column c0 left, partials of column c1
-        (corner spill) right; receive and key-match-add symmetric rows.
+        node: [MGB+1, F*cpb] local partial sums.
         """
-        ax = self.axis
         cfg = self._cfg
-        s_idx = jax.lax.axis_index(ax)
-        bounds = jnp.asarray(self.col_bounds, jnp.int32)
-        c0 = bounds[s_idx]
-        c1 = bounds[s_idx + 1]
-
         keys = structure.grid_keys  # [MGB]
-        cols = self._block_col(keys)
         valid = keys < jnp.int32(np.prod(self._bspace))
-        rows = node[: cfg.max_grid_blocks]
+        overflow = jnp.asarray(False)
 
-        def extract(col):
-            flags = valid & (cols == col)
-            r, sel, take = _compact_rows(rows, flags, self.max_halo_blocks)
-            k = keys[take]
-            k = jnp.where(sel, k, jnp.int32(-1))
-            r = r * sel[:, None]
-            overflow = jnp.sum(flags.astype(jnp.int32)) > self.max_halo_blocks
-            return k, r, overflow
+        for i, a in enumerate(self.mesh_axes):
+            g = self.decomp_gaxes[i]
+            s_idx = jax.lax.axis_index(a)
+            bounds = jnp.asarray(self.bounds[i], jnp.int32)
+            c0 = bounds[s_idx]
+            c1 = bounds[s_idx + 1]
+            coords = self._block_coord(keys, g)
+            rows = node[: cfg.max_grid_blocks]
 
-    # send left: my partials of my first column; send right: my spill into
-    # the right neighbor's first column.
-        kl, rl, ovl = extract(c0)
-        kr, rr, ovr = extract(c1)
+            def extract(layer):
+                flags = valid & (coords == layer)
+                r, sel, take = _compact_rows(rows, flags, self.max_halo_blocks)
+                k = keys[take]
+                k = jnp.where(sel, k, jnp.int32(-1))
+                r = r * sel[:, None]
+                ovf = jnp.sum(flags.astype(jnp.int32)) > self.max_halo_blocks
+                return k, r, ovf
 
-        n_dev = self.n_shards
-        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
-        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
+            # send left: my partials of my first layer; send right: my spill
+            # into the right neighbor's first layer.
+            kl, rl, ovl = extract(c0)
+            kr, rr, ovr = extract(c1)
 
-        # What I receive from the left neighbor: its spill into MY first
-        # column (it sent "right"). From the right: its partials of ITS
-        # first column == my spill column (it sent "left").
-        recv_k_from_left = jax.lax.ppermute(kr, ax, right_perm)
-        recv_r_from_left = jax.lax.ppermute(rr, ax, right_perm)
-        recv_k_from_right = jax.lax.ppermute(kl, ax, left_perm)
-        recv_r_from_right = jax.lax.ppermute(rl, ax, left_perm)
+            right_perm, left_perm = self._neighbor_perms(i)
+            recv_k_from_left = jax.lax.ppermute(kr, a, right_perm)
+            recv_r_from_left = jax.lax.ppermute(rr, a, right_perm)
+            recv_k_from_right = jax.lax.ppermute(kl, a, left_perm)
+            recv_r_from_right = jax.lax.ppermute(rl, a, left_perm)
 
-        def merge(node_rows, rk, rr_):
-            rk_safe = jnp.where(rk >= 0, rk, jnp.int32(2**30))
-            idx = jnp.searchsorted(keys, rk_safe).astype(jnp.int32)
-            idx = jnp.clip(idx, 0, cfg.max_grid_blocks - 1)
-            hit = (keys[idx] == rk_safe) & (rk >= 0)
-            dest = jnp.where(hit, idx, cfg.max_grid_blocks)
-            return node_rows.at[dest].add(rr_ * hit[:, None])
+            def merge(node_rows, rk, rr_):
+                rk_safe = jnp.where(rk >= 0, rk, jnp.int32(2**30))
+                idx = jnp.searchsorted(keys, rk_safe).astype(jnp.int32)
+                idx = jnp.clip(idx, 0, cfg.max_grid_blocks - 1)
+                hit = (keys[idx] == rk_safe) & (rk >= 0)
+                dest = jnp.where(hit, idx, cfg.max_grid_blocks)
+                return node_rows.at[dest].add(rr_ * hit[:, None])
 
-        node = merge(node, recv_k_from_left, recv_r_from_left)
-        node = merge(node, recv_k_from_right, recv_r_from_right)
-        node = node.at[cfg.max_grid_blocks].set(0.0)
-        return node, ovl | ovr
+            node = merge(node, recv_k_from_left, recv_r_from_left)
+            node = merge(node, recv_k_from_right, recv_r_from_right)
+            node = node.at[cfg.max_grid_blocks].set(0.0)
+            overflow = overflow | ovl | ovr
+        return node, overflow
 
     # -- particle migration ----------------------------------------------------
 
     def _migrate(self, p):
-        """Move particles whose base cell left this shard's slab to the
-        owning neighbor (<= 1 column of drift per substep by CFL)."""
-        ax = self.axis
-        s_idx = jax.lax.axis_index(ax)
-        target = self.shard_of_positions(p.position, p.active)
-        stay = (target == s_idx) | (target < 0) | ~p.active
-        go_left = p.active & (target >= 0) & (target < s_idx)
-        go_right = p.active & (target >= 0) & (target > s_idx)
+        """Move particles whose base cell left this shard's tile to the
+        owning neighbor, one mesh-axis hop at a time (diagonal migrants take
+        two hops within the same substep; <= 1 cell of drift by CFL)."""
+        overflow = jnp.asarray(False)
+        for i, a in enumerate(self.mesh_axes):
+            p, ov = self._migrate_axis(p, i, a)
+            overflow = overflow | ov
+        return p, overflow
+
+    def _migrate_axis(self, p, i, a):
+        s_idx = jax.lax.axis_index(a)
+        key, ok = B.particle_block_key(self.grid, p.position, p.active)
+        target = self._axis_shard_of(key, i)
+        valid = ok & p.active
+        go_left = valid & (target < s_idx)
+        go_right = valid & (target > s_idx)
 
         cap = self.max_migrants
         fields = list(p.__dataclass_fields__)
@@ -337,20 +391,18 @@ class DomainSparsePipeline(SparseMpmPipeline):
             sel = jnp.arange(cap, dtype=jnp.int32) < jnp.sum(mask.astype(jnp.int32))
             buf = {f: getattr(p, f)[take] for f in fields}
             buf["active"] = buf["active"] & sel
-            overflow = jnp.sum(mask.astype(jnp.int32)) > cap
-            return buf, overflow
+            ovf = jnp.sum(mask.astype(jnp.int32)) > cap
+            return buf, ovf
 
         buf_l, ov_l = pack(go_left)
         buf_r, ov_r = pack(go_right)
 
-        n_dev = self.n_shards
-        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
-        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
+        right_perm, left_perm = self._neighbor_perms(i)
         recv_from_left = jax.tree_util.tree_map(
-            lambda a: jax.lax.ppermute(a, ax, right_perm), buf_r
+            lambda x: jax.lax.ppermute(x, a, right_perm), buf_r
         )
         recv_from_right = jax.tree_util.tree_map(
-            lambda a: jax.lax.ppermute(a, ax, left_perm), buf_l
+            lambda x: jax.lax.ppermute(x, a, left_perm), buf_l
         )
 
         # Drop emigrants locally.
@@ -363,8 +415,8 @@ class DomainSparsePipeline(SparseMpmPipeline):
             n_imm = jnp.sum(buf["active"].astype(jnp.int32))
             n_free = jnp.sum((~p.active).astype(jnp.int32))
             dest = free_order[:cap]
-            ok = buf["active"]
-            dest = jnp.where(ok, dest, p.capacity)  # dump row
+            okb = buf["active"]
+            dest = jnp.where(okb, dest, p.capacity)  # dump row
             upd = {}
             for f in fields:
                 arr = getattr(p, f)
@@ -390,68 +442,67 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
         return update_phase_field(
             self.grid, p, self.models, dt,
-            reduce_fn=lambda g: jax.lax.psum(g, self.axis),
+            reduce_fn=lambda g: jax.lax.psum(g, self.mesh_axes),
         )
 
     def _evolve_eigenerosion_p(self, p):
         """Distributed eigenerosion: exchange boundary-strip GHOST particles
         (position + m·psi + m of eligible particles within 2 cells of the
-        slab boundary) with both neighbors via ppermute, then pool neighbor
-        sums over the extended population. Ghost outputs are discarded; their
-        contributions to local particles make the pooling exact across the
-        boundary (ref: eigenerosion.rs pools over exact 3^d neighborhoods)."""
+        tile boundary) with neighbors via ppermute — per mesh axis, with the
+        second axis forwarding first-axis ghosts so diagonal neighborhoods
+        pool exactly. Ghost outputs are discarded; their contributions to
+        local particles make the pooling exact across boundaries
+        (ref: eigenerosion.rs pools over exact 3^d neighborhoods)."""
         from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
-        from sparkl_tpu.sparse.pipeline import OVERFLOW_TABLES, OVERFLOW_EIGEN
 
-        ax = self.axis
         grid = self.grid
         h = grid.cell_width
-        s_idx = jax.lax.axis_index(ax)
-        bounds = jnp.asarray(self.col_bounds, jnp.int32)
-        c0 = bounds[s_idx]
-        c1 = bounds[s_idx + 1]
-        x_lo = grid.origin[0] + c0.astype(jnp.float32) * B.BLOCK_SIDE * h
-        x_hi = grid.origin[0] + c1.astype(jnp.float32) * B.BLOCK_SIDE * h
-
+        d = p.dim
         eligible = (
             (p.crack_propagation_factor != 0.0) & (p.phase > 0.0)
             & ~p.failed & p.active
         )
-        x = p.position[:, 0]
-        strip_l = eligible & (x < x_lo + 2.0 * h)
-        strip_r = eligible & (x >= x_hi - 2.0 * h)
-
-        d = p.dim
         vals = jnp.stack([p.mass * p.psi_pos, p.mass], axis=-1)
         payload = jnp.concatenate(
             [p.position, vals, eligible[:, None].astype(jnp.float32)], axis=1
         )  # [N, d + 3]
 
         cap = self.max_ghosts
+        strip_ov = jnp.asarray(False)
+        ext = payload
 
-        def pack(mask):
-            rows, sel, _ = _compact_rows(payload, mask, cap)
-            rows = rows * sel[:, None]
-            overflow = jnp.sum(mask.astype(jnp.int32)) > cap
-            return rows, overflow
+        for i, a in enumerate(self.mesh_axes):
+            g = self.decomp_gaxes[i]
+            s_idx = jax.lax.axis_index(a)
+            bounds = jnp.asarray(self.bounds[i], jnp.int32)
+            x_lo = grid.origin[g] + bounds[s_idx].astype(jnp.float32) * B.BLOCK_SIDE * h
+            x_hi = grid.origin[g] + bounds[s_idx + 1].astype(jnp.float32) * B.BLOCK_SIDE * h
 
-        send_l, ov_l = pack(strip_l)
-        send_r, ov_r = pack(strip_r)
+            x = ext[:, g]
+            inc = ext[:, d + 2] != 0.0
+            strip_l = inc & (x < x_lo + 2.0 * h)
+            strip_r = inc & (x >= x_hi - 2.0 * h)
 
-        n_dev = self.n_shards
-        right_perm = [(i, i + 1) for i in range(n_dev - 1)]
-        left_perm = [(i + 1, i) for i in range(n_dev - 1)]
-        ghosts_from_left = jax.lax.ppermute(send_r, ax, right_perm)
-        ghosts_from_right = jax.lax.ppermute(send_l, ax, left_perm)
-        ghosts = jnp.concatenate([ghosts_from_left, ghosts_from_right], axis=0)
+            def pack(mask):
+                rows, sel, _ = _compact_rows(ext, mask, cap)
+                rows = rows * sel[:, None]
+                ovf = jnp.sum(mask.astype(jnp.int32)) > cap
+                return rows, ovf
 
-        pos_ext = jnp.concatenate([p.position, ghosts[:, :d]], axis=0)
-        vals_ext = jnp.concatenate([vals, ghosts[:, d : d + 2]], axis=0)
-        include_ext = jnp.concatenate(
-            [eligible, ghosts[:, d + 2] != 0.0], axis=0
-        )
+            send_l, ov_l = pack(strip_l)
+            send_r, ov_r = pack(strip_r)
+            strip_ov = strip_ov | ov_l | ov_r
+
+            right_perm, left_perm = self._neighbor_perms(i)
+            ghosts_from_left = jax.lax.ppermute(send_r, a, right_perm)
+            ghosts_from_right = jax.lax.ppermute(send_l, a, left_perm)
+            ext = jnp.concatenate(
+                [ext, ghosts_from_left, ghosts_from_right], axis=0
+            )
+
         pooled_ext, bucket_ov = neighbor_pair_sums(
-            grid, pos_ext, vals_ext, include_mask=include_ext,
+            grid, ext[:, :d], ext[:, d : d + 2],
+            include_mask=ext[:, d + 2] != 0.0,
             radius=h, max_per_cell=self._eigen_k,
         )
         pooled = pooled_ext[: p.capacity]
@@ -469,45 +520,46 @@ class DomainSparsePipeline(SparseMpmPipeline):
         # Strip-buffer overflow regrows tables (max_ghosts grows with them);
         # bucket overflow regrows the eigenerosion bucket depth.
         flags = (
-            (ov_l | ov_r).astype(jnp.int32) * OVERFLOW_TABLES
+            strip_ov.astype(jnp.int32) * OVERFLOW_TABLES
             + bucket_ov.astype(jnp.int32) * OVERFLOW_EIGEN
         )
         return p, flags
 
     # -- load rebalancing ---------------------------------------------------------
 
-    def rebalance(self, particles, capacity_per_shard=None, tolerance=2.0):
-        """Re-split the slab boundaries so per-shard particle counts stay
+    def rebalance(self, particles, capacity_per_shard=None):
+        """Re-split the tile boundaries so per-shard particle counts stay
         balanced (host-side, frame-boundary; ref: the reference has no
         rebalancing — its testbed caps at 1 GPU — this is the TPU-native
         scaling extension, SURVEY §2.6). Returns a re-distributed particle
-        pytree; call between frames when a drifting pile skews the counts
-        (e.g. when max/mean shard count exceeds `tolerance`).
+        pytree. Recompiles the step only when the boundaries changed.
 
-        Recompiles the step on the new boundaries only when they changed.
-        """
+        Per-axis marginal equal-count splits (exact for 1D; a good heuristic
+        for 2D tiles)."""
         import numpy as onp
 
-        pos = onp.asarray(particles.position)
-        act = onp.asarray(particles.active)
         key, ok = B.particle_block_key(self.grid, particles.position, particles.active)
-        col = onp.asarray(key // self._col_stride)
-        col = col[onp.asarray(ok)]
-        ncols = self._bspace[0]
-        hist = onp.bincount(col, minlength=ncols).astype(onp.int64)
-        csum = onp.concatenate([[0], onp.cumsum(hist)])
-        total = csum[-1]
-        # Equal-count split points, snapped to column boundaries.
-        bounds = [0]
-        for sshard in range(1, self.n_shards):
-            want = total * sshard / self.n_shards
-            c = int(onp.searchsorted(csum, want))
-            c = max(bounds[-1] + 1, min(c, ncols - (self.n_shards - sshard)))
-            bounds.append(c)
-        bounds.append(ncols)
-        new_bounds = onp.asarray(bounds, onp.int32)
-        if not onp.array_equal(new_bounds, self.col_bounds):
-            self.col_bounds = new_bounds
+        key = onp.asarray(key)[onp.asarray(ok)]
+        changed = False
+        for i, g in enumerate(self.decomp_gaxes):
+            coord = (key // self._strides[g]) % self._bspace[g]
+            ncols = self._bspace[g]
+            size = self.mesh_shape[i]
+            hist = onp.bincount(coord, minlength=ncols).astype(onp.int64)
+            csum = onp.concatenate([[0], onp.cumsum(hist)])
+            total = csum[-1]
+            bounds = [0]
+            for sshard in range(1, size):
+                want = total * sshard / size
+                c = int(onp.searchsorted(csum, want))
+                c = max(bounds[-1] + 1, min(c, ncols - (size - sshard)))
+                bounds.append(c)
+            bounds.append(ncols)
+            nb = onp.asarray(bounds, onp.int32)
+            if not onp.array_equal(nb, self.bounds[i]):
+                self.bounds[i] = nb
+                changed = True
+        if changed:
             self._jit = None
             self._jit_frames = {}
             self._ensure_cfg_jit_only()

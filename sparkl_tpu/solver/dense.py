@@ -162,6 +162,15 @@ def p2g(grid: GridParams, p, models: registry.ModelSet, dt, gravity):
     return p2g_finalize(p2g_scatter(grid, p, models, dt), dt, gravity)
 
 
+def grid_node_projections(colliders, node_positions):
+    """Per-collider (proj, inside) for every node. A pure function of node
+    positions (colliders are trace-time constants), so sparse pipelines can
+    compute it once per structure rebuild and carry it across substeps —
+    the reference's projection cache (ref: reset_grid.rs:29-63
+    copy_grid_projection_data carries per-node projections forward)."""
+    return tuple(c.project_point(node_positions) for c in colliders)
+
+
 def grid_update(
     grid: GridParams,
     state: GridState,
@@ -170,12 +179,15 @@ def grid_update(
     boundary_handling: BoundaryHandling,
     simulation_dofs: SimulationDofs,
     node_positions=None,
+    projections=None,
 ):
     """Per-node DOF locking + collider boundary conditions.
 
     Ref: grid_update.rs `grid_update` (:43-132): Stick zeroes velocity inside;
     Friction projects out approaching normal velocity with Coulomb tangential
     decay and a penetration-margin correction one cell ahead of the surface.
+    `projections` (grid_node_projections) skips the per-substep collider
+    projection when the caller caches it.
     """
     vel = state.velocity
     mom = state.momentum
@@ -194,7 +206,7 @@ def grid_update(
     if node_positions is None:
         node_positions = grid.node_positions()
 
-    for collider in colliders:
+    for ci, collider in enumerate(colliders):
         bh = (
             BoundaryHandling(collider.boundary_handling)
             if collider.boundary_handling is not None
@@ -202,7 +214,10 @@ def grid_update(
         )
         if bh == BoundaryHandling.NONE:
             continue
-        proj, inside = collider.project_point(node_positions)
+        if projections is not None:
+            proj, inside = projections[ci]
+        else:
+            proj, inside = collider.project_point(node_positions)
 
         if bh == BoundaryHandling.STICK:
             vel = jnp.where(inside[..., None], 0.0, vel)

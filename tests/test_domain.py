@@ -347,3 +347,92 @@ def test_domain_rebalance_drifting_pile():
     pos_d, vel_d, _ = _sorted_state(pd)
     np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
     np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+
+
+def _mesh2d():
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "z"))
+
+
+def test_domain_2d_mesh_matches_single_one_substep():
+    """4x2 tile decomposition (grid axes 0 and 2): sequential-axis halo
+    forwarding must reproduce the single-device result including corner
+    blocks."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(96, 24, 64))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.2, 1.0), counts=(40, 5, 30), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    rng = np.random.default_rng(2)
+    vel = rng.normal(scale=0.4, size=(p.capacity, 3)).astype(np.float32)
+    p = p.replace(velocity=jnp.asarray(vel))
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    gravity = [0.0, -9.81, 0.0]
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity, mesh=_mesh2d(),
+        max_halo_blocks=256, max_migrants=512,
+    )
+    assert dom.mesh_shape == (4, 2)
+
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, f_s = _sorted_state(ps)
+    pos_d, vel_d, f_d = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-6)
+
+
+def test_domain_2d_mesh_frames_with_migration():
+    """Multi-frame 2D decomposition with diagonal drift: migration hops
+    across both axes keep counts exact and trajectories statistically tied."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(96, 24, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(1.0e5, 0.2))]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.2, 1.0), counts=(40, 5, 30), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    vel = np.zeros((p.capacity, 3), np.float32)
+    vel[:, 0] = 1.2  # diagonal drift
+    vel[:, 2] = -1.0
+    p = p.replace(velocity=jnp.asarray(vel))
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    gravity = [0.0, -9.81, 0.0]
+
+    single = SparseMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, colliders, params, gravity, mesh=_mesh2d(),
+        max_halo_blocks=256, max_migrants=1024,
+    )
+    ps = jax.tree_util.tree_map(jnp.array, p)
+    pd = dom.distribute(p)
+    for _ in range(3):
+        ps, _ = single.step_with_stats(ps)
+        pd, _ = dom.step_with_stats(pd)
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, _, _ = _sorted_state(ps)
+    pos_d, _, _ = _sorted_state(pd)
+    err = np.linalg.norm(pos_s - pos_d, axis=1)
+    assert np.quantile(err, 0.995) < 1e-3
+    assert np.median(err) < 1e-4
