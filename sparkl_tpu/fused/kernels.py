@@ -429,6 +429,80 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 
 
 # ---------------------------------------------------------------------------
+# Eigenerosion pairwise pooling kernel
+# ---------------------------------------------------------------------------
+
+# Rows of the packed eigen tensor: pos(d), val0 = m*psi_pos, val1 = m,
+# eligible flag; row 7 of the CANDIDATE tensor additionally carries the
+# "candidate == own chunk" flag for diagonal self-exclusion.
+EIG_ROWS = 8
+EIG_SELF = 7
+
+
+def _eigen_pool_kernel(dim, radius, kn, nr, e_ref, g_ref, out_ref):
+    """Exact pairwise neighbor pooling (ref: eigenerosion.rs:9-58 pools
+    m*psi and m over particles within cell_width). Per chunk, the [C, C]
+    distance tile against each candidate chunk runs on the VPU — no bucket
+    tables, no gathers, no silent capacity drops (the generic bucket path
+    costs ~90 ms at l_panel2 scale in element gathers; this is ~2 ms)."""
+    c = out_ref.shape[2]
+    r2 = radius * radius
+    eye = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (c, c), 1
+    )
+    for i in range(nr):
+        my_elig = e_ref[i, dim + 2, :] > 0.0  # [C] (lane dim = my lanes)
+        acc0 = jnp.zeros((1, c), jnp.float32)
+        acc1 = jnp.zeros((1, c), jnp.float32)
+        for k in range(kn):
+            # Pair tiles as [C_candidate (sublane), C_mine (lane)] so the
+            # reduction over candidates is a cheap sublane sum.
+            d2 = None
+            for ax in range(dim):
+                diff = g_ref[i, k, ax, :][:, None] - e_ref[i, ax, :][None, :]
+                d2 = diff * diff if d2 is None else d2 + diff * diff
+            pair = (
+                (d2 <= r2)
+                & my_elig[None, :]
+                & (g_ref[i, k, dim + 2, :] > 0.0)[:, None]
+            )
+            is_self = g_ref[i, k, EIG_SELF, 0] > 0.0
+            pair = pair & ~(eye & is_self)
+            pf = pair.astype(jnp.float32)
+            acc0 = acc0 + jnp.sum(
+                pf * g_ref[i, k, dim, :][:, None], axis=0, keepdims=True
+            )
+            acc1 = acc1 + jnp.sum(
+                pf * g_ref[i, k, dim + 1, :][:, None], axis=0, keepdims=True
+            )
+        out = [acc0, acc1]
+        out += [jnp.zeros((1, c), jnp.float32)] * (EIG_ROWS - 2)
+        out_ref[i] = jnp.concatenate(out, axis=0)
+
+
+def eigen_pool_fused(grid: GridParams, cfg, e, g, interpret=False, vma=None):
+    """e [D, 8, C] own-chunk eigen rows + g [D, KN, 8, C] candidate rows ->
+    pooled [D, 8, C] (rows 0/1 = neighbor sums of val0/val1)."""
+    d_, kn = g.shape[0], g.shape[1]
+    c = cfg.chunk_size
+    nr = _r_of(cfg)
+    kernel = functools.partial(
+        _eigen_pool_kernel, grid.dim, float(grid.cell_width), kn, nr
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d_ // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, EIG_ROWS, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, kn, EIG_ROWS, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, EIG_ROWS, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=_out_shape((d_, EIG_ROWS, c), jnp.float32, vma),
+        interpret=interpret,
+    )(e, g)
+
+
+# ---------------------------------------------------------------------------
 # Slot permute kernel (the data movement of a resort)
 # ---------------------------------------------------------------------------
 

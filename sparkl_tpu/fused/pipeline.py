@@ -83,7 +83,9 @@ class FusedMpmPipeline:
         self._jit_frames = {}
         self._donate = donate
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # Off-TPU there is no Mosaic lowering: run the kernels in
+            # interpreter mode (CPU CI / debugging).
+            use_pallas = True if jax.default_backend() == "tpu" else "interpret"
         self._interpret = use_pallas == "interpret"
         self._kernel_vma = None
         tab_f, tab_i = K.pack_model_tables(models)
@@ -98,9 +100,10 @@ class FusedMpmPipeline:
             damage_model=int(params.damage_model),
         )
         self._kparams = dict(gpu_velocity_clamp=params.gpu_velocity_clamp)
-        from sparkl_tpu.solver.eigenerosion import default_max_per_cell
-
-        self._eigen_k = default_max_per_cell(grid.dim)
+        # Candidate-list depth for the pairwise eigenerosion pooling:
+        # chunks per block (nominal packing fills a block with <= 2 chunks in
+        # 2D / 4 in 3D; compression can exceed it -> detected + regrown).
+        self._eigen_mcb = 2 if grid.dim == 2 else 4
 
     @staticmethod
     def supports(models: registry.ModelSet, params: SolverParameters):
@@ -230,49 +233,119 @@ class FusedMpmPipeline:
         bound = jnp.where(self._active(state), bound, jnp.inf)
         return slots.at[:, r.dtb, :].set(jnp.minimum(bound, L.BIGF))
 
-    def _evolve_eigenerosion(self, state):
-        """Eigenerosion on slot rows (ref: eigenerosion.rs:9-58). The
-        neighbor machinery is order-agnostic; slots are just a padded
-        particle population."""
-        from sparkl_tpu.sparse.neighbors import neighbor_pair_sums
+    def _eigen_candidates(self, structure):
+        """Per-chunk candidate chunk ids for pairwise pooling: all chunks of
+        the 3^d neighbor blocks (own included), up to _eigen_mcb chunks per
+        block. Returns ([D, KN] i32 ids with D = pad row, overflow flag)."""
+        from sparkl_tpu.core.grid import stencil_offsets
 
-        grid, r = self.grid, self._rows
-        d = grid.dim
-        slots = state.slots
-        sflat = lambda row: slots[:, row, :].reshape(-1)
-        pos = jnp.stack(
-            [sflat(r.pos + ax) for ax in range(d)], axis=-1
-        )  # [S, d]
-        cpf = sflat(r.cpf)
-        phase = sflat(r.phase)
-        failed = sflat(r.failed) != 0.0
-        active = self._active(state).reshape(-1)
-        mass = sflat(r.mass)
-        psi_pos = sflat(r.psi_pos)
-        par1 = sflat(r.par1)
-        par2 = sflat(r.par2)
-        cthr = sflat(r.cthr)
+        grid, cfg = self.grid, self._cfg
+        dim = grid.dim
+        d_ = cfg.max_chunks
+        mb = cfg.max_blocks
+        bspace = S.block_space_ob2(grid)
+        strides = np.ones(dim, np.int64)
+        for ax in range(dim - 2, -1, -1):
+            strides[ax] = strides[ax + 1] * bspace[ax + 1]
+        sentinel = jnp.int32(np.prod(bspace))
 
-        eligible = (cpf != 0.0) & (phase > 0.0) & ~failed & active
-        vals = jnp.stack([mass * psi_pos, mass], axis=-1)
-        pooled, eig_ov = neighbor_pair_sums(
-            grid, pos, vals, include_mask=eligible, radius=grid.cell_width,
-            max_per_cell=self._eigen_k,
+        bk = structure.block_keys  # [MB] sorted, sentinel pad
+        coords = []
+        rem = bk
+        for ax in range(dim):
+            coords.append(rem // int(strides[ax]))
+            rem = rem % int(strides[ax])
+        coords = jnp.stack(coords, axis=-1)  # [MB, d]
+        offs = jnp.asarray(stencil_offsets(dim) - 1, jnp.int32)  # {-1,0,1}^d
+        nco = coords[:, None, :] + offs[None, :, :]  # [MB, 3^d, d]
+        in_space = (
+            jnp.all(nco >= 0, axis=-1)
+            & jnp.all(nco < jnp.asarray(bspace, jnp.int32), axis=-1)
+            & (bk < sentinel)[:, None]
         )
-        par1 = par1 + jnp.where(eligible, pooled[:, 0], 0.0)
-        par2 = par2 + jnp.where(eligible, pooled[:, 1], 0.0)
+        nkeys = (nco * jnp.asarray(strides, jnp.int32)[None, None, :]).sum(-1)
+        nkeys = jnp.where(in_space, nkeys, sentinel)
+        found = jnp.searchsorted(bk, nkeys.reshape(-1)).astype(jnp.int32)
+        found = jnp.clip(found, 0, mb - 1)
+        hit = (bk[found] == nkeys.reshape(-1)) & (nkeys.reshape(-1) < sentinel)
+        nblk = jnp.where(hit, found, mb).reshape(mb, -1)  # [MB, 3^d]
+
+        mcb = self._eigen_mcb
+        first = jnp.concatenate(
+            [structure.block_first_chunk, jnp.full((1,), d_, jnp.int32)]
+        )[nblk]  # [MB, 3^d]
+        nch = jnp.concatenate(
+            [structure.block_num_chunks, jnp.zeros((1,), jnp.int32)]
+        )[nblk]
+        overflow = jnp.any(nch > mcb)
+        t = jnp.arange(mcb, dtype=jnp.int32)
+        cand_blk = jnp.where(
+            t[None, None, :] < nch[:, :, None],
+            first[:, :, None] + t[None, None, :],
+            d_,
+        ).reshape(mb, -1)  # [MB, KN]
+        cand_blk = jnp.concatenate(
+            [cand_blk, jnp.full((1, cand_blk.shape[1]), d_, jnp.int32)]
+        )  # row MB = pad (tail/pad chunks)
+        cand = cand_blk[jnp.clip(structure.chunk_block, 0, mb)]  # [D, KN]
+        return cand, overflow
+
+    def _evolve_eigenerosion(self, state):
+        """Eigenerosion on slot rows via EXACT pairwise pooling over the 3^d
+        neighbor blocks (fused/kernels.eigen_pool_fused) — no bucket tables,
+        no per-cell capacity to overflow (ref: eigenerosion.rs:9-58 pools
+        exact neighborhoods). The only capacity is chunks-per-block in the
+        candidate list (_eigen_mcb), detected and regrown."""
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        d_ = cfg.max_chunks
+        c = cfg.chunk_size
+        slots, ints = state.slots, state.ints
+        structure = state.structure
+
+        cpf = slots[:, r.cpf, :]
+        phase = slots[:, r.phase, :]
+        failed = slots[:, r.failed, :] != 0.0
+        active = self._active(state)
+        mass = slots[:, r.mass, :]
+        psi_pos = slots[:, r.psi_pos, :]
+        eligible = (cpf != 0.0) & (phase > 0.0) & ~failed & active
+
+        # Packed eigen rows [D, 8, C]: pos(d), m*psi, m, eligible.
+        e_rows = [slots[:, r.pos + ax, :] for ax in range(d)]
+        e_rows += [mass * psi_pos, mass, eligible.astype(jnp.float32)]
+        while len(e_rows) < K.EIG_ROWS:
+            e_rows.append(jnp.zeros_like(mass))
+        e = jnp.stack(e_rows, axis=1)
+
+        cand, cand_ov = self._eigen_candidates(structure)
+        kn = cand.shape[1]
+        e_pad = jnp.concatenate(
+            [e, jnp.zeros((1, K.EIG_ROWS, c), jnp.float32)], axis=0
+        )
+        g = e_pad.reshape(d_ + 1, K.EIG_ROWS * c)[cand.reshape(-1)].reshape(
+            d_, kn, K.EIG_ROWS, c
+        )
+        # Self flag (row 7): candidate chunk == own chunk.
+        own = jnp.arange(d_, dtype=jnp.int32)[:, None]
+        selfflag = (cand == own).astype(jnp.float32)  # [D, KN]
+        g = g.at[:, :, K.EIG_SELF, :].set(
+            jnp.broadcast_to(selfflag[:, :, None], (d_, kn, c))
+        )
+
+        pooled = K.eigen_pool_fused(
+            grid, cfg, e, g, interpret=self._interpret, vma=self._kernel_vma
+        )
+
+        par1 = slots[:, r.par1, :] + jnp.where(eligible, pooled[:, 0, :], 0.0)
+        par2 = slots[:, r.par2, :] + jnp.where(eligible, pooled[:, 1, :], 0.0)
         has_crack = cpf != 0.0
         safe2 = jnp.where(par2 > 0.0, par2, 1.0)
         energy = par1 * cpf * grid.cell_width / safe2
-        trip = has_crack & (energy > cthr)
-        shape = (self._cfg.max_chunks, self._cfg.chunk_size)
-        slots = slots.at[:, r.par1, :].set(
-            jnp.where(has_crack, energy, par1).reshape(shape)
-        )
-        slots = slots.at[:, r.phase, :].set(
-            jnp.where(trip, 0.0, phase).reshape(shape)
-        )
-        return state.replace(slots=slots), eig_ov
+        trip = has_crack & (energy > slots[:, r.cthr, :])
+        slots = slots.at[:, r.par1, :].set(jnp.where(has_crack, energy, par1))
+        slots = slots.at[:, r.phase, :].set(jnp.where(trip, 0.0, phase))
+        return state.replace(slots=slots), cand_ov
 
     # -- one substep (traced) --------------------------------------------------
 
@@ -496,9 +569,10 @@ class FusedMpmPipeline:
                 self._adapt_capacity(int(peak))
                 return self._unpack(state, capacity), int(total)
             if flags & OVERFLOW_EIGEN:
-                # Eigenerosion bucket overflow: double the neighbor-bucket
-                # depth and recompile (never silently mis-pool).
-                self._eigen_k *= 2
+                # Eigenerosion candidate-list overflow: a block held more
+                # chunks than _eigen_mcb. Double it and recompile (never
+                # silently mis-pool).
+                self._eigen_mcb *= 2
                 self._jit = None
                 self._ensure_cfg(None)
             if flags & OVERFLOW_TABLES:

@@ -66,6 +66,8 @@ class SlotStructure:
     chunk_block: jax.Array  # [MAX_CHUNKS] i32 (MAX_BLOCKS for tail/pad)
     chunk_count: jax.Array  # [MAX_CHUNKS] i32 particles in chunk
     chunk_origin: jax.Array  # [MAX_CHUNKS, d] i32 window origin cell (4bc-2)
+    block_first_chunk: jax.Array  # [MAX_BLOCKS] i32 first chunk of block
+    block_num_chunks: jax.Array  # [MAX_BLOCKS] i32 chunks per block
     num_blocks: jax.Array  # [] i32 overflow check
     num_grid_blocks: jax.Array  # [] i32
     num_chunks: jax.Array  # [] i32 valid + tail chunks
@@ -210,6 +212,8 @@ def build_slot_structure(
         chunk_block=chunk_block,
         chunk_count=chunk_count,
         chunk_origin=chunk_origin,
+        block_first_chunk=chunk_base,
+        block_num_chunks=nchunks_per_block,
         num_blocks=num_blocks,
         num_grid_blocks=num_grid_blocks,
         num_chunks=num_chunks,
