@@ -447,34 +447,39 @@ def _eigen_pool_kernel(dim, radius, kn, nr, e_ref, g_ref, out_ref):
     costs ~90 ms at l_panel2 scale in element gathers; this is ~2 ms)."""
     c = out_ref.shape[2]
     r2 = radius * radius
-    eye = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) == jax.lax.broadcasted_iota(
-        jnp.int32, (c, c), 1
-    )
+    # All mask math in f32: Mosaic only supports broadcast minor-dim inserts
+    # for 32-bit types (bools are packed).
+    eye_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(jnp.float32)
     for i in range(nr):
-        my_elig = e_ref[i, dim + 2, :] > 0.0  # [C] (lane dim = my lanes)
-        acc0 = jnp.zeros((1, c), jnp.float32)
-        acc1 = jnp.zeros((1, c), jnp.float32)
-        for k in range(kn):
+        my_elig = e_ref[i, dim + 2, :]  # [C] f32 0/1 (lane dim = my lanes)
+        my_pos = [e_ref[i, ax, :] for ax in range(dim)]
+
+        def body(k, acc):
+            acc0, acc1 = acc
+            gk = g_ref[i, k]  # [EIG_ROWS, C]
             # Pair tiles as [C_candidate (sublane), C_mine (lane)] so the
             # reduction over candidates is a cheap sublane sum.
             d2 = None
             for ax in range(dim):
-                diff = g_ref[i, k, ax, :][:, None] - e_ref[i, ax, :][None, :]
+                diff = gk[ax, :][:, None] - my_pos[ax][None, :]
                 d2 = diff * diff if d2 is None else d2 + diff * diff
-            pair = (
-                (d2 <= r2)
-                & my_elig[None, :]
-                & (g_ref[i, k, dim + 2, :] > 0.0)[:, None]
+            pf = (
+                (d2 <= r2).astype(jnp.float32)
+                * my_elig[None, :]
+                * gk[dim + 2, :][:, None]
             )
-            is_self = g_ref[i, k, EIG_SELF, 0] > 0.0
-            pair = pair & ~(eye & is_self)
-            pf = pair.astype(jnp.float32)
-            acc0 = acc0 + jnp.sum(
-                pf * g_ref[i, k, dim, :][:, None], axis=0, keepdims=True
-            )
-            acc1 = acc1 + jnp.sum(
-                pf * g_ref[i, k, dim + 1, :][:, None], axis=0, keepdims=True
-            )
+            pf = pf * (1.0 - eye_f * gk[EIG_SELF, 0])
+            acc0 = acc0 + jnp.sum(pf * gk[dim, :][:, None], axis=0, keepdims=True)
+            acc1 = acc1 + jnp.sum(pf * gk[dim + 1, :][:, None], axis=0, keepdims=True)
+            return (acc0, acc1)
+
+        acc0, acc1 = jax.lax.fori_loop(
+            0, kn, body,
+            (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32)),
+        )
         out = [acc0, acc1]
         out += [jnp.zeros((1, c), jnp.float32)] * (EIG_ROWS - 2)
         out_ref[i] = jnp.concatenate(out, axis=0)
