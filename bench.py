@@ -28,7 +28,7 @@ BASELINE_PUPS = 1.0e9
 
 def main():
     scale = os.environ.get("SPARKL_BENCH_SCALE", "full")
-    frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "3"))
+    frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "5"))
 
     import sparkl_tpu.scenes as scenes
     from sparkl_tpu.fused.pipeline import FusedMpmPipeline

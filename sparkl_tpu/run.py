@@ -25,7 +25,7 @@ def main(argv=None):
     ap.add_argument("--scene", required=True, help="scene name (see --list)")
     ap.add_argument("--list", action="store_true", help="list scenes and exit")
     ap.add_argument("--frames", type=int, default=60)
-    ap.add_argument("--pipeline", choices=["sparse", "dense"], default="sparse")
+    ap.add_argument("--pipeline", choices=["auto", "fused", "sparse", "dense"], default="auto")
     ap.add_argument("--out", default=None, help="output dir for snapshots")
     ap.add_argument("--save-every", type=int, default=10)
     ap.add_argument("--profile", action="store_true", help="per-stage timings")
@@ -54,11 +54,10 @@ def main(argv=None):
     n = int(np.asarray(b.particles.num_active))
     print(f"scene={b.name} particles={n} grid_res={b.grid.res} h={b.grid.cell_width}")
 
-    if args.pipeline == "sparse":
-        from sparkl_tpu.sparse.pipeline import SparseMpmPipeline as Pipe
-    else:
-        from sparkl_tpu.solver.pipeline import MpmPipeline as Pipe
-    pipe = Pipe(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+    import sparkl_tpu as sk
+
+    pipe = sk.auto_pipeline(b, prefer=args.pipeline)
+    print(f"pipeline={type(pipe).__name__}")
 
     if args.profile and args.pipeline == "sparse":
         from sparkl_tpu.utils.timings import profile_sparse_substep

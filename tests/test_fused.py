@@ -261,3 +261,27 @@ def test_fused_rejects_unsupported():
     params = sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM)
     with pytest.raises(ValueError):
         FusedMpmPipeline(grid, models, [], params, use_pallas="interpret")
+
+
+def test_resort_fallback_matches_fast_path(monkeypatch):
+    """Force the >K-source-chunks fallback (generic row gather) and check it
+    produces the same slot state as the fast selection-matmul permute."""
+    grid, models, p = _scene2d(12)
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    # Scramble positions slightly so the resort actually permutes.
+    r = L.Rows(2)
+    slots = state.slots.at[:, r.pos, :].add(0.013)
+    state = state.replace(slots=slots)
+
+    fast, ov_fast = jax.jit(lambda s: L.resort(grid, cfg, s, 2, interpret=True))(state)
+
+    monkeypatch.setattr(L, "PERMUTE_SRC_CHUNKS", 1)  # force k-overflow path
+    slow, ov_slow = jax.jit(lambda s: L.resort(grid, cfg, s, 2, interpret=True))(state)
+
+    np.testing.assert_allclose(
+        np.asarray(fast.slots), np.asarray(slow.slots), atol=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(fast.ints), np.asarray(slow.ints))
+    assert bool(ov_fast) == bool(ov_slow) == False
