@@ -55,13 +55,14 @@ def _make_pipe(kind, b):
     )
 
 
-def _replay(scene, kind):
+def _replay(scene, kind, max_frames=None):
     gold = GOLD[scene]
     b = scenes.build(scene, **gold["config"])
     pipe = _make_pipe(kind, b)
     p = jax.tree_util.tree_map(jnp.array, b.particles)
     n0 = int(np.asarray(b.particles.active).sum())
-    for rec in gold["frames"]:
+    frames = gold["frames"][:max_frames] if max_frames else gold["frames"]
+    for rec in frames:
         p, niter = pipe.step_with_stats(p)
         frame = rec["frame"]
         assert int(niter) == rec["substeps"], f"{scene} frame {frame} substeps"
@@ -94,9 +95,12 @@ def test_golden_dense(scene):
 
 @pytest.mark.parametrize("scene", SCENES)
 def test_golden_fused(scene):
-    _replay(scene, "fused")
+    # Interpret-mode Pallas kernels replay ~10x slower than XLA; 4 frames
+    # still cross cell boundaries (exercising the lazy resort) while keeping
+    # CI latency sane. The dense pipeline replays the full horizon.
+    _replay(scene, "fused", max_frames=4)
 
 
 @pytest.mark.parametrize("scene", ["elasticity2", "sand3"])
 def test_golden_sparse(scene):
-    _replay(scene, "sparse")
+    _replay(scene, "sparse", max_frames=6)
