@@ -762,6 +762,14 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     bound = jnp.where(active, bound, jnp.inf)
     bound = jnp.minimum(bound, L.BIGF)
 
+    # Per-slot drift accumulation (lazy-resort trigger; conservative
+    # max-axis step displacement added to the running per-particle total).
+    step_disp = None
+    for i2 in range(dim):
+        a = jnp.abs(vel[i2]) * dt
+        step_disp = a if step_disp is None else jnp.maximum(step_disp, a)
+    cumd = row(r.cumd) + step_disp
+
     # --- write the new slot tensor (row order = layout.Rows) ----------------
     rows = list(pos)
     rows += vel
@@ -771,7 +779,7 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     rows += kin
     rows += [row(r.cpf), row(r.cthr), bound,
              failed_new.astype(jnp.float32), row(r.radius0), par1, par2,
-             row(r.m_c), row(r.g), row(r.debug)]
+             row(r.m_c), row(r.g), row(r.debug), cumd]
     while len(rows) < r.nf:
         rows.append(zero)
     out_ref[...] = jnp.stack(rows, axis=1)

@@ -159,8 +159,16 @@ class Rows:
         return self._scalars + 18 + self.dim
 
     @property
+    def cumd(self):
+        # Per-slot accumulated drift since the last sort (NOT a particle
+        # field): the lazy-resort trigger is max-over-slots of this row — a
+        # maximum of per-particle sums, far tighter than summing the global
+        # per-substep maxima when only a few particles move fast.
+        return self._scalars + 19 + self.dim
+
+    @property
     def nf(self):
-        return _round8(self._scalars + 19 + self.dim)
+        return _round8(self._scalars + 20 + self.dim)
 
 
 @jax.tree_util.register_dataclass
@@ -442,6 +450,7 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
         return newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
 
     slots, ints = jax.lax.cond(k_overflow, slow, fast, None)
+    slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
     ints = _write_origin_rows(ints, structure, dim)
 
     overflow = (

@@ -409,15 +409,13 @@ class FusedMpmPipeline:
             vma=self._kernel_vma,
         )
 
-        # Per-substep peak displacement (drives the lazy resort trigger).
-        vmax = 0.0
-        for ax in range(dim):
-            vmax = jnp.maximum(
-                vmax, jnp.max(jnp.abs(new_slots[:, r.vel + ax, :]))
-            )
-        disp = vmax * dt
+        # Lazy-resort trigger: the kernel accumulates per-slot drift; the
+        # trigger scalar is its maximum (max of per-particle sums — much
+        # tighter than summing global per-substep maxima when only a few
+        # particles move fast, e.g. surface flow on settled sand).
         return state.replace(
-            slots=new_slots, cum_disp=state.cum_disp + disp
+            slots=new_slots,
+            cum_disp=jnp.max(new_slots[:, r.cumd, :]),
         )
 
     def _step_body(self, state, remaining, overflow, peak):

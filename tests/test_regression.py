@@ -93,11 +93,12 @@ def test_golden_dense(scene):
     _replay(scene, "dense")
 
 
-@pytest.mark.parametrize("scene", SCENES)
+# Interpret-mode Pallas replays cost ~4 min/scene on CPU; three scenes cover
+# the fused path's distinct regimes (3D sand + heightfield + plasticity /
+# 2D eigenerosion + Dirichlet hook + Stick / 3D fluid volume recompute), and
+# tests/test_fused.py separately pins fused<->dense equivalence per feature.
+@pytest.mark.parametrize("scene", ["sand3", "l_panel2", "fluids3"])
 def test_golden_fused(scene):
-    # Interpret-mode Pallas kernels replay ~10x slower than XLA; 4 frames
-    # still cross cell boundaries (exercising the lazy resort) while keeping
-    # CI latency sane. The dense pipeline replays the full horizon.
     _replay(scene, "fused", max_frames=4)
 
 
