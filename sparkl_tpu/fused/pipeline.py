@@ -440,6 +440,7 @@ class FusedMpmPipeline:
 
         state, ov = jax.lax.cond(need, do_resort, no_resort, state)
         overflow = overflow | ov
+        nresort = need.astype(jnp.int32)
         peak = jnp.maximum(peak, state.structure.num_chunks)
 
         # Out-of-grid marking is folded into kernel B (from post-advection
@@ -460,21 +461,21 @@ class FusedMpmPipeline:
 
         state = self._substep(state, dt)
         remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
-        return state, remaining, overflow, peak
+        return state, remaining, overflow, peak, nresort
 
     def _step_impl(self, state):
         params = self.params
 
         def cond(carry):
-            _, remaining, niter, _, _ = carry
+            remaining, niter = carry[1], carry[2]
             return (remaining > 0.0) & (niter < params.max_num_substeps)
 
         def body(carry):
-            state, remaining, niter, overflow, peak = carry
-            state, remaining, overflow, peak = self._step_body(
+            state, remaining, niter, overflow, peak, nres = carry
+            state, remaining, overflow, peak, nr1 = self._step_body(
                 state, remaining, overflow, peak
             )
-            return (state, remaining, niter + 1, overflow, peak)
+            return (state, remaining, niter + 1, overflow, peak, nres + nr1)
 
         carry = (
             state,
@@ -482,24 +483,28 @@ class FusedMpmPipeline:
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
         )
-        state, _, niter, overflow, peak = jax.lax.while_loop(cond, body, carry)
-        return state, niter, overflow, peak
+        state, _, niter, overflow, peak, nres = jax.lax.while_loop(cond, body, carry)
+        return state, niter, overflow, peak, nres
 
     def _frames_impl(self, state, num_frames):
         def body(carry, _):
-            state, total, ov, peak = carry
-            state, niter, ov2, pk = self._step_impl(state)
-            return (state, total + niter, ov | ov2, jnp.maximum(peak, pk)), None
+            state, total, ov, peak, nres = carry
+            state, niter, ov2, pk, nr1 = self._step_impl(state)
+            return (
+                state, total + niter, ov | ov2, jnp.maximum(peak, pk),
+                nres + nr1,
+            ), None
 
-        (state, total, ov, peak), _ = jax.lax.scan(
+        (state, total, ov, peak, nres), _ = jax.lax.scan(
             body,
             (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32)),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
             None,
             length=num_frames,
         )
-        return state, total, ov, peak
+        return state, total, ov, peak, nres
 
     # -- public API -------------------------------------------------------------
 
@@ -561,10 +566,12 @@ class FusedMpmPipeline:
             ):
                 self._grow()
                 continue
-            state, total, overflow, peak = self._jit(state, num_frames)
+            state, total, overflow, peak, nres = self._jit(state, num_frames)
             flags = int(overflow)
             if flags == 0:
                 self._adapt_capacity(int(peak))
+                # Diagnostics: resorts actually taken in the span.
+                self.last_resorts = int(nres)
                 return self._unpack(state, capacity), int(total)
             if flags & OVERFLOW_EIGEN:
                 # Eigenerosion candidate-list overflow: a block held more
