@@ -100,13 +100,14 @@ def test_golden_dense(scene):
     _replay(scene, "dense")
 
 
-# Interpret-mode Pallas replays cost ~4 min/scene on CPU; three scenes cover
-# the fused path's distinct regimes (3D sand + heightfield + plasticity /
-# 2D eigenerosion + Dirichlet hook + Stick / 3D fluid volume recompute), and
-# tests/test_fused.py separately pins fused<->dense equivalence per feature.
-@pytest.mark.parametrize("scene", ["sand3", "l_panel2", "fluids3"])
-def test_golden_fused(scene):
-    _replay(scene, "fused", max_frames=4)
+# Interpret-mode Pallas replays cost ~4 min/scene on CPU; two scenes cover
+# the fused path's heavy regimes (3D sand + heightfield + plasticity, and 3D
+# fluid volume recompute). The eigenerosion/hook/Stick path is pinned against
+# dense by test_fused.py's per-feature equivalence tests (interpret replay of
+# the full l_panel2 scene graph compiles for ~10 min on XLA:CPU).
+@pytest.mark.parametrize("scene,frames", [("sand3", 4), ("fluids3", 4)])
+def test_golden_fused(scene, frames):
+    _replay(scene, "fused", max_frames=frames)
 
 
 @pytest.mark.parametrize("scene", ["elasticity2", "sand3"])
