@@ -436,3 +436,39 @@ def test_domain_2d_mesh_frames_with_migration():
     err = np.linalg.norm(pos_s - pos_d, axis=1)
     assert np.quantile(err, 0.995) < 1e-3
     assert np.median(err) < 1e-4
+
+
+def test_domain_2d_mesh_eigenerosion_matches_single():
+    """Eigenerosion ghosts on a 2D mesh: the second axis forwards first-axis
+    ghosts, so diagonal-corner neighborhoods pool exactly."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(96, 24, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(1.0e5, 0.2))]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.2, 1.0), counts=(36, 4, 26), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+        crack_propagation_factor=2.0, crack_threshold=1.0e-6,
+        psi_pos=5.0,
+    )
+    params = sk.SolverParameters(
+        dt=1.0 / 120.0, damage_model=sk.DamageModel.EIGENEROSION,
+        stop_after_one_substep=True,
+    )
+    gravity = [0.0, -9.81, 0.0]
+    single = SparseMpmPipeline(grid, models, [], params, gravity)
+    dom = DomainSparsePipeline(
+        grid, models, [], params, gravity, mesh=_mesh2d(),
+        max_halo_blocks=256, max_migrants=512, max_ghosts=512,
+    )
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+
+    act_s = np.asarray(ps.active)
+    act_d = np.asarray(pd.active)
+    pos_s = np.asarray(ps.position)[act_s]
+    pos_d = np.asarray(pd.position)[act_d]
+    ph_s = np.asarray(ps.phase)[act_s][np.lexsort(pos_s.T)]
+    ph_d = np.asarray(pd.phase)[act_d][np.lexsort(pos_d.T)]
+    np.testing.assert_allclose(ph_s, ph_d, atol=1e-6)
+    assert (ph_s == 0.0).sum() > 0
