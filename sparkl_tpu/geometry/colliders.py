@@ -122,20 +122,69 @@ def heightfield(heights, scale, translation=None, rotation=None, friction=0.0, *
     return Collider(HEIGHTFIELD, (h, s), t, r, friction, **kw)
 
 
-def trimesh(vertices, triangles, translation=None, rotation=None, friction=0.0, **kw):
-    """Closed triangle mesh collider (exact point-triangle projection +
-    ray-parity containment), brute force over triangles.
+def trimesh(vertices, triangles, translation=None, rotation=None, friction=0.0,
+            hashed=None, max_table_entries=1 << 22, **kw):
+    """Closed triangle mesh collider with exact point-triangle projection.
 
-    Ref: gpu_collider.rs GpuColliderShape::TriMesh (parry does BVH traversal
-    on device; unused by every reference scene). Vectorized [points x tris] —
-    intended for small meshes (<= a few hundred triangles); larger meshes
-    want the round-2 spatial-hash lookup.
+    Ref: gpu_collider.rs GpuColliderShape::TriMesh (parry traverses a BVH on
+    device). Two lookup modes:
+
+      * brute force (small meshes, `hashed=False`): [points x T] projection +
+        ray-parity containment — exact everywhere;
+      * spatial hash (`hashed=True`; auto for T > 256): triangles binned into
+        a uniform cell grid sized to the largest triangle AABB edge; queries
+        project onto the 3^3 neighboring cells' candidates. Exact whenever
+        the closest point lies within one hash cell of the query (which
+        covers every node the grid-update boundary logic can act on); points
+        with no nearby triangle report no contact, matching the reference's
+        `project_point_with_max_dist` None (gpu_collider.rs:43-50).
+        Containment uses the nearest triangle's normal (requires consistent
+        outward winding, like any normal-based test).
     """
     v = np.asarray(vertices, np.float32)
     t = np.asarray(triangles, np.int64)
     tri = v[t]  # [T, 3, 3]
     tl, r = _identity_pose(3, translation, rotation)
-    return Collider(TRIMESH, (tri,), tl, r, friction, **kw)
+    if hashed is None:
+        hashed = tri.shape[0] > 256
+    if not hashed:
+        return Collider(TRIMESH, (tri, None), tl, r, friction, **kw)
+
+    # Build the hash host-side (trace-time constant, like every collider).
+    lo = tri.min(axis=(0, 1)) - 1e-4
+    hi = tri.max(axis=(0, 1)) + 1e-4
+    tri_lo = tri.min(axis=1)
+    tri_hi = tri.max(axis=1)
+    cell = float(np.max(tri_hi - tri_lo))  # largest triangle AABB edge
+    cell = max(cell, float(np.max(hi - lo)) / 64.0)  # cap table size
+    dims = np.maximum(np.ceil((hi - lo) / cell).astype(np.int64), 1)
+    ncell = int(np.prod(dims))
+    buckets = [[] for _ in range(ncell)]
+    for tid in range(tri.shape[0]):
+        c0 = np.floor((tri_lo[tid] - lo) / cell).astype(np.int64)
+        c1 = np.floor((tri_hi[tid] - lo) / cell).astype(np.int64)
+        c0 = np.clip(c0, 0, dims - 1)
+        c1 = np.clip(c1, 0, dims - 1)
+        for ix in range(c0[0], c1[0] + 1):
+            for iy in range(c0[1], c1[1] + 1):
+                for iz in range(c0[2], c1[2] + 1):
+                    buckets[(ix * dims[1] + iy) * dims[2] + iz].append(tid)
+    # Table width = the densest cell (vertex fans — e.g. sphere poles — can
+    # be large); never drop triangles. Fall back to brute force only when the
+    # table itself would be bigger than the mesh.
+    depth = max(max((len(b) for b in buckets), default=1), 1)
+    if ncell * depth > max_table_entries:
+        return Collider(TRIMESH, (tri, None), tl, r, friction, **kw)
+    table = np.full((ncell, depth), -1, np.int32)
+    for ci, b in enumerate(buckets):
+        table[ci, : len(b)] = b
+    hash_data = (
+        lo.astype(np.float32),
+        np.float32(cell),
+        tuple(int(d) for d in dims),
+        table,
+    )
+    return Collider(TRIMESH, (tri, hash_data), tl, r, friction, **kw)
 
 
 def polyline(points, translation=None, rotation=None, friction=0.0, closed=True, **kw):
@@ -421,12 +470,15 @@ def _point_triangle_closest(pf, a, b, c):
     return pt
 
 
-def _project_trimesh(p, tri):
-    """Closest point on a triangle soup + even-odd ray containment.
+def _project_trimesh(p, tri, hash_data=None):
+    """Closest point on a triangle soup.
 
-    Vectorized over [points x T] pairs; the inside test casts a +x ray and
-    counts crossings (mesh must be closed for containment to be meaningful).
+    hash_data=None: brute force over [points x T] + even-odd ray containment
+    (mesh must be closed). Otherwise: spatial-hash candidate lookup (see
+    `trimesh`).
     """
+    if hash_data is not None:
+        return _project_trimesh_hashed(p, tri, *hash_data)
     tri = jnp.asarray(tri, p.dtype)  # [T, 3, 3]
     lead = p.shape[:-1]
     pf = p.reshape(-1, 1, 3)  # [M, 1, 3]
@@ -464,6 +516,60 @@ def _project_trimesh(p, tri):
     hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t_hit > 0)
     inside = (jnp.sum(hit.astype(jnp.int32), axis=-1) % 2) == 1
 
+    return proj.reshape(lead + (3,)), inside.reshape(lead)
+
+
+def _project_trimesh_hashed(p, tri, lo, cell, dims, table):
+    """Spatial-hash closest point: candidates from the 3^3 neighbor cells of
+    the query's hash cell. Points with no nearby triangle report no contact
+    (projection pushed far away), matching the reference's
+    project_point_with_max_dist -> None (gpu_collider.rs:43-50)."""
+    tri = jnp.asarray(tri, p.dtype)  # [T, 3, 3]
+    table = jnp.asarray(table)  # [ncell, L]
+    lo = jnp.asarray(lo, p.dtype)
+    nl = table.shape[1]
+    lead = p.shape[:-1]
+    pf = p.reshape(-1, 3)
+    m = pf.shape[0]
+
+    ix = jnp.floor((pf - lo) / cell).astype(jnp.int32)  # [M, 3]
+    offs = np.stack(
+        np.meshgrid(*([[-1, 0, 1]] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    nbr = ix[:, None, :] + jnp.asarray(offs, jnp.int32)[None, :, :]  # [M,27,3]
+    dimv = jnp.asarray(dims, jnp.int32)
+    ok = jnp.all((nbr >= 0) & (nbr < dimv), axis=-1)  # [M, 27]
+    nbr = jnp.clip(nbr, 0, dimv - 1)
+    flat = (nbr[..., 0] * dims[1] + nbr[..., 1]) * dims[2] + nbr[..., 2]
+    cand = table[jnp.where(ok, flat, 0)]  # [M, 27, L]
+    cand = jnp.where(ok[..., None], cand, -1).reshape(m, 27 * nl)
+
+    safe = jnp.clip(cand, 0, tri.shape[0] - 1)
+    a = tri[safe, 0, :]  # [M, 27L, 3]
+    b = tri[safe, 1, :]
+    c = tri[safe, 2, :]
+    pt = _point_triangle_closest(pf[:, None, :], a, b, c)
+    d2 = jnp.sum((pf[:, None, :] - pt) ** 2, axis=-1)
+    d2 = jnp.where(cand >= 0, d2, jnp.inf)
+
+    k = 27 * nl
+    best_d2 = d2[:, 0]
+    proj = pt[:, 0, :]
+    best_a, best_b, best_c = a[:, 0, :], b[:, 0, :], c[:, 0, :]
+    for t in range(1, k):
+        pick = d2[:, t] < best_d2
+        best_d2 = jnp.where(pick, d2[:, t], best_d2)
+        proj = jnp.where(pick[:, None], pt[:, t, :], proj)
+        best_a = jnp.where(pick[:, None], a[:, t, :], best_a)
+        best_b = jnp.where(pick[:, None], b[:, t, :], best_b)
+        best_c = jnp.where(pick[:, None], c[:, t, :], best_c)
+
+    found = jnp.isfinite(best_d2)
+    # Containment via the nearest triangle's (outward) normal.
+    n = jnp.cross(best_b - best_a, best_c - best_a)
+    inside = found & (jnp.sum((pf - proj) * n, axis=-1) < 0.0)
+    # No nearby triangle: report no contact (projection far away).
+    proj = jnp.where(found[:, None], proj, pf + 1.0e9)
     return proj.reshape(lead + (3,)), inside.reshape(lead)
 
 

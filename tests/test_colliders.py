@@ -168,3 +168,60 @@ def test_heightfield_containment_matches_triangulation():
         # Skip knife-edge ties.
         if abs(p[1] - ht) > 1e-4:
             assert bool(got) == (p[1] < ht), (p, ht)
+
+
+def _sphere_mesh(n_theta=24, n_phi=48, r=1.0):
+    """Watertight UV sphere with outward winding."""
+    verts = []
+    for i in range(n_theta + 1):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.cos(th),
+                          r * np.sin(th) * np.sin(ph)])
+    verts = np.asarray(verts, np.float32)
+    tris = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c2 = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            tris.append([a, c2, b])
+            tris.append([b, c2, d])
+    tris = np.asarray(tris, np.int64)
+    # Enforce outward winding (sphere centered at origin).
+    for k in range(len(tris)):
+        va, vb, vc = verts[tris[k]]
+        n = np.cross(vb - va, vc - va)
+        if np.dot(n, (va + vb + vc) / 3.0) < 0:
+            tris[k] = tris[k][[0, 2, 1]]
+    return verts, tris
+
+
+def test_trimesh_hashed_matches_bruteforce_near_surface():
+    """The spatial-hash lookup must reproduce the brute-force projection for
+    points within one hash cell of the surface (the regime grid-update boundary
+    conditions act in)."""
+    v, t = _sphere_mesh()
+    brute = sk.trimesh(v, t, hashed=False)
+    hashed = sk.trimesh(v, t, hashed=True)
+    assert hashed.data[1] is not None, "hash build fell back unexpectedly"
+
+    rng = np.random.default_rng(5)
+    dirs = rng.normal(size=(120, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = rng.uniform(0.92, 1.08, size=(120, 1)).astype(np.float32)
+    pts = jnp.asarray(dirs * radii)
+
+    pb, ib = brute.project_point(pts)
+    ph, ih = hashed.project_point(pts)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(ph), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ih))
+
+    # Far points: hashed reports no contact (huge distance), by design.
+    far = jnp.asarray(dirs * 5.0)
+    pf, inf_ = hashed.project_point(far)
+    d = np.linalg.norm(np.asarray(pf) - np.asarray(far), axis=1)
+    assert np.all((d > 10.0) | (d < 4.5))  # either no-contact or real proj
+    assert not np.asarray(inf_).any()
