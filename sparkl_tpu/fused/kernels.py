@@ -429,6 +429,48 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 
 
 # ---------------------------------------------------------------------------
+# Sorted-slice shift kernel (resort source-index extraction)
+# ---------------------------------------------------------------------------
+
+
+def _src_rows_kernel(nr, g2_ref, shift_ref, out_ref):
+    """out[i] = concat(g2[i,0], g2[i,1])[shift_i : shift_i + C].
+
+    The per-chunk variable lane shift is a one-hot [2C, C] matmul (values are
+    slot indices < 2^24, exact in f32) — an XLA element gather here costs
+    ~12 ns/element; this is ~1 ms total at 500k."""
+    c = out_ref.shape[2]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 0)
+    iotac = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 1)
+    for i in range(nr):
+        sh = shift_ref[i, 0]
+        route = (iota2 == iotac + sh).astype(jnp.float32)  # [2C, C]
+        cat = jnp.concatenate(
+            [g2_ref[i, 0, :], g2_ref[i, 1, :]], axis=0
+        ).astype(jnp.float32)[None, :]  # [1, 2C]
+        out_ref[i] = _dot(cat, route).astype(jnp.int32)
+
+
+def src_rows_from_order(cfg, order2, shifts, interpret=False, vma=None):
+    """order2 [D, 2, C] i32 (the two sorted-order rows each destination chunk
+    spans) + shifts [D] i32 -> per-chunk source slots [D, 1, C] i32."""
+    d_, _, c = order2.shape
+    nr = _r_of(cfg)
+    kernel = functools.partial(_src_rows_kernel, nr)
+    return pl.pallas_call(
+        kernel,
+        grid=(d_ // nr,),
+        in_specs=[
+            pl.BlockSpec((nr, 2, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=_out_shape((d_, 1, c), jnp.int32, vma),
+        interpret=interpret,
+    )(order2, shifts.reshape(d_, 1))
+
+
+# ---------------------------------------------------------------------------
 # Eigenerosion pairwise pooling kernel
 # ---------------------------------------------------------------------------
 

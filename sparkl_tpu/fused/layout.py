@@ -402,11 +402,26 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
     structure, sort_order, chunk_start = S.build_slot_structure(
         grid, cfg, pos, active, occupied
     )
-    # Per-destination-chunk source slots: a contiguous slice of sort_order
-    # (vmapped dynamic slices — NOT an elementwise gather).
-    src = jax.vmap(lambda s: jax.lax.dynamic_slice(sort_order, (s,), (c,)))(
-        jnp.minimum(chunk_start, jnp.int32(d_ * c - c))
-    )  # [D, C]
+    # Per-destination-chunk source slots: chunk j's slice
+    # sort_order[start_j : start_j + C] spans exactly two rows of the
+    # [D, C]-shaped order; gather those (a cheap row gather) and apply the
+    # per-chunk lane shift inside a kernel. Slot indices exceed f32's exact
+    # integer range only past 16M slots — fall back to the elementwise slice
+    # there.
+    start = jnp.minimum(chunk_start, jnp.int32(d_ * c - c))
+    if d_ * c < (1 << 24):
+        ord2d = sort_order.reshape(d_, c)
+        r0 = start // c
+        g2 = ord2d[
+            jnp.stack([r0, jnp.minimum(r0 + 1, d_ - 1)], axis=1).reshape(-1)
+        ].reshape(d_, 2, c)
+        src = K2.src_rows_from_order(
+            cfg, g2, start % c, interpret=interpret, vma=vma
+        )[:, 0, :]
+    else:
+        src = jax.vmap(lambda s: jax.lax.dynamic_slice(sort_order, (s,), (c,)))(
+            start
+        )  # [D, C]
     lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
     valid = lanes < structure.chunk_count[:, None]
 
