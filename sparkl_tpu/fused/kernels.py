@@ -436,19 +436,24 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
 def _src_rows_kernel(nr, g2_ref, shift_ref, out_ref):
     """out[i] = concat(g2[i,0], g2[i,1])[shift_i : shift_i + C].
 
-    The per-chunk variable lane shift is a one-hot [2C, C] matmul (values are
-    slot indices < 2^24, exact in f32) — an XLA element gather here costs
-    ~12 ns/element; this is ~1 ms total at 500k."""
+    The per-chunk variable lane shift is expressed as TWO one-hot [C, C]
+    selection matmuls (one per source row; values are slot indices < 2^24,
+    exact in f32) rather than a single [2C, C] matmul over the concatenated
+    rows — Mosaic does not implement 1-D vector concatenate across lane
+    tiles. An XLA element gather here costs ~12 ns/element; this is ~1 ms
+    total at 500k."""
     c = out_ref.shape[2]
-    iota2 = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 0)
-    iotac = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)  # source lane j
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)  # dest lane k
     for i in range(nr):
         sh = shift_ref[i, 0]
-        route = (iota2 == iotac + sh).astype(jnp.float32)  # [2C, C]
-        cat = jnp.concatenate(
-            [g2_ref[i, 0, :], g2_ref[i, 1, :]], axis=0
-        ).astype(jnp.float32)[None, :]  # [1, 2C]
-        out_ref[i] = _dot(cat, route).astype(jnp.int32)
+        # route0[j, k] = 1 iff j == k + sh (pulls from row 0 while k + sh < C)
+        # route1[j, k] = 1 iff j == k + sh - C (wraps into row 1 afterwards)
+        route0 = (iota_r == iota_c + sh).astype(jnp.float32)
+        route1 = (iota_r == iota_c + (sh - c)).astype(jnp.float32)
+        row0 = g2_ref[i, 0, :].astype(jnp.float32)[None, :]  # [1, C]
+        row1 = g2_ref[i, 1, :].astype(jnp.float32)[None, :]
+        out_ref[i] = (_dot(row0, route0) + _dot(row1, route1)).astype(jnp.int32)
 
 
 def src_rows_from_order(cfg, order2, shifts, interpret=False, vma=None):
