@@ -80,6 +80,29 @@ class Particles:
     def replace(self, **kw):
         return replace(self, **kw)
 
+    # -- runtime add/remove (ref: src/cuda/cuda_particle_set.rs:81-136
+    # truncate/remove_range; JAX shapes are static, so removal is
+    # deactivation — `compact` physically drops rows host-side) ------------
+
+    def remove_range(self, start: int, end: int) -> "Particles":
+        """Deactivate particles [start, end) (slot indices). Jit-safe for
+        static bounds; the slots stay allocated with zero mass."""
+        idx = jnp.arange(self.capacity)
+        keep = (idx < start) | (idx >= end)
+        return self.replace(
+            active=self.active & keep,
+            mass=jnp.where(keep, self.mass, 0.0),
+        )
+
+    def truncate(self, new_len: int) -> "Particles":
+        """Deactivate every particle at slot >= new_len."""
+        return self.remove_range(new_len, self.capacity)
+
+    def compact(self, capacity=None) -> "Particles":
+        """Physically drop inactive rows (host-side; returns a new set whose
+        capacity defaults to the active count)."""
+        return Particles.concatenate((self,), capacity=capacity)
+
     # -- construction -------------------------------------------------------
 
     @staticmethod
