@@ -427,44 +427,81 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
 
     sentinel = jnp.int32(2**30)
     src_chunk = jnp.where(valid, src // c, sentinel)
-    # Per-destination-chunk unique source chunks (row-sorted run compaction).
-    sc_sorted = jnp.sort(src_chunk, axis=1)
-    prev = jnp.concatenate(
-        [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
-    )
-    flag = (sc_sorted != prev) & (sc_sorted < sentinel)
-    rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
-    kr = jnp.arange(k_src, dtype=jnp.int32)
-    onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
-    uniq = jnp.sum(jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1)  # [D, K]
-    nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
-    uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
-    k_overflow = jnp.any(nuniq > k_src)
-
-    eq = src_chunk[:, :, None] == uniq[:, None, :]  # [D, C, K]
-    k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
-    has = jnp.any(eq, axis=-1) & valid
     src_lane = jnp.where(valid, src % c, 0)
-    target = jnp.where(has, k_of * c + src_lane, k_src * c)
 
-    def fast(_):
-        ids = jnp.clip(uniq, 0, d_ - 1).reshape(-1)
-        g = state.slots.reshape(d_, r.nf * c)[ids].reshape(d_, k_src, r.nf, c)
-        gi = state.ints.reshape(d_, NI * c)[ids].reshape(d_, k_src, NI, c)
-        return K2.permute_chunks(
-            cfg, g, gi, target, interpret=interpret, vma=vma
+    # Pure chunk relabeling: under coherent motion the stable sort over
+    # uniformly shifted keys preserves slot order — every destination chunk
+    # is an in-order copy of exactly one source chunk (lane i comes from
+    # lane i of one chunk). Then the whole permute collapses to ONE
+    # chunk-row gather, and — just as important — the per-chunk source
+    # analysis below (row sort, run compaction, one-hot targets, ~half of
+    # resort cost) is skipped entirely via lax.cond. Lane 0 is valid
+    # whenever any lane is (valid is a prefix mask), so src[:, 0] names the
+    # single source chunk.
+    first_chunk = src[:, 0] // c
+    pure_relabel = jnp.all(
+        jnp.where(
+            valid,
+            (src_lane == lanes) & (src_chunk == first_chunk[:, None]),
+            True,
+        )
+    )
+
+    def pure(_):
+        ids0 = jnp.clip(first_chunk, 0, d_ - 1)
+        vm = valid[:, None, :]
+        return (
+            jnp.where(vm, state.slots[ids0], 0.0),
+            jnp.where(vm, state.ints[ids0], 0),
         )
 
-    def slow(_):
-        big = jnp.concatenate([state.slots, _ints_to_f32(state.ints)], axis=1)
-        f_all = big.shape[1]
-        flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
-        sflat = jnp.where(valid, src, 0).reshape(-1)
-        nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
-        newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
-        return newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+    def mixed(_):
+        # Per-destination-chunk unique source chunks (row-sorted run
+        # compaction) -> gathered-source index per lane.
+        sc_sorted = jnp.sort(src_chunk, axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
+        )
+        flag = (sc_sorted != prev) & (sc_sorted < sentinel)
+        rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
+        kr = jnp.arange(k_src, dtype=jnp.int32)
+        onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
+        uniq = jnp.sum(
+            jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1
+        )  # [D, K]
+        nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
+        uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
+        k_overflow = jnp.any(nuniq > k_src)
 
-    slots, ints = jax.lax.cond(k_overflow, slow, fast, None)
+        eq = src_chunk[:, :, None] == uniq[:, None, :]  # [D, C, K]
+        k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
+        has = jnp.any(eq, axis=-1) & valid
+        target = jnp.where(has, k_of * c + src_lane, k_src * c)
+
+        def fast(_):
+            ids = jnp.clip(uniq, 0, d_ - 1).reshape(-1)
+            g = state.slots.reshape(d_, r.nf * c)[ids].reshape(
+                d_, k_src, r.nf, c
+            )
+            gi = state.ints.reshape(d_, NI * c)[ids].reshape(d_, k_src, NI, c)
+            return K2.permute_chunks(
+                cfg, g, gi, target, interpret=interpret, vma=vma
+            )
+
+        def slow(_):
+            big = jnp.concatenate(
+                [state.slots, _ints_to_f32(state.ints)], axis=1
+            )
+            f_all = big.shape[1]
+            flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
+            sflat = jnp.where(valid, src, 0).reshape(-1)
+            nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
+            newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+            return newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+
+        return jax.lax.cond(k_overflow, slow, fast, None)
+
+    slots, ints = jax.lax.cond(pure_relabel, pure, mixed, None)
     slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
     ints = _write_origin_rows(ints, structure, dim)
 

@@ -285,3 +285,44 @@ def test_resort_fallback_matches_fast_path(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(fast.ints), np.asarray(slow.ints))
     assert bool(ov_fast) == bool(ov_slow) == False
+
+
+def test_resort_pure_relabel_shortcut():
+    """A uniform whole-block translation leaves the stable sort order intact,
+    so the resort collapses to the pure chunk-relabel branch (one row gather,
+    no permute kernel). Every particle field must survive bit-exactly and the
+    window origins must track the shifted blocks."""
+    grid, models, p = _scene2d(12)
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    # Shift every particle by exactly one block (4 cells) downward: block
+    # labels move, relative order doesn't.
+    r = L.Rows(2)
+    slots = state.slots.at[:, r.pos + 1, :].add(-4.0 * grid.cell_width)
+    state = state.replace(slots=slots)
+
+    out, ov = jax.jit(lambda s: L.resort(grid, cfg, s, 2, interpret=True))(state)
+    assert not bool(ov)
+
+    q0 = L.unpack(grid, cfg, state, p.capacity, 2)
+    q1 = L.unpack(grid, cfg, out, p.capacity, 2)
+    for name in ["position", "velocity", "deformation_gradient", "mass",
+                 "phase", "plastic_hardening", "log_vol_gain", "debug_val"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(q0, name)), np.asarray(getattr(q1, name)),
+            err_msg=name,
+        )
+    for name in ["active", "failed", "model_id", "user_data"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(q0, name)), np.asarray(getattr(q1, name)),
+            err_msg=name,
+        )
+    # The structure moved with the particles: per-slot window origins must
+    # place every particle's stencil inside its 8^d window again.
+    act = np.asarray(out.ints[:, L.I_FLAGS, :]) & L.ACTIVE
+    pos_y = np.asarray(out.slots[:, r.pos + 1, :])
+    base = np.round((pos_y - grid.origin[1]) / grid.cell_width).astype(int) - 1
+    rel = base - np.asarray(out.ints[:, L.I_ORIGIN + 1, :])
+    ok = (rel >= 1) & (rel <= 4)
+    assert np.all(ok[act != 0])
