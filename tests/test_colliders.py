@@ -225,3 +225,66 @@ def test_trimesh_hashed_matches_bruteforce_near_surface():
     d = np.linalg.norm(np.asarray(pf) - np.asarray(far), axis=1)
     assert np.all((d > 10.0) | (d < 4.5))  # either no-contact or real proj
     assert not np.asarray(inf_).any()
+
+
+def test_ball_capsule_projection_oracles():
+    """Closed-form oracles for ball and capsule projection + containment."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-2.0, 2.0, size=(200, 3)).astype(np.float32)
+
+    ballc = sk.ball(0.7, translation=(0.2, -0.1, 0.3))
+    proj, inside = ballc.project_point(jnp.asarray(pts))
+    ctr = np.array([0.2, -0.1, 0.3], np.float32)
+    d = np.linalg.norm(pts - ctr, axis=1)
+    np.testing.assert_array_equal(np.asarray(inside), d < 0.7)
+    want = ctr + (pts - ctr) / np.maximum(d, 1e-12)[:, None] * 0.7
+    np.testing.assert_allclose(np.asarray(proj), want, atol=1e-5)
+
+    a = np.array([-0.5, 0.0, 0.0], np.float32)
+    b = np.array([0.5, 0.3, 0.0], np.float32)
+    capc = sk.capsule(a, b, 0.4)
+    proj, inside = capc.project_point(jnp.asarray(pts))
+    ab = b - a
+    t = np.clip(((pts - a) @ ab) / (ab @ ab), 0.0, 1.0)
+    seg = a + t[:, None] * ab
+    d = np.linalg.norm(pts - seg, axis=1)
+    np.testing.assert_array_equal(np.asarray(inside), d < 0.4)
+    want = seg + (pts - seg) / np.maximum(d, 1e-12)[:, None] * 0.4
+    np.testing.assert_allclose(np.asarray(proj), want, atol=1e-5)
+
+
+def test_polyline_projection_and_winding():
+    """Non-convex closed polyline: projection must match a brute-force
+    per-segment scan and containment an even-odd ray-crossing oracle
+    (ref: gpu_collider.rs polyline_project_point winding test)."""
+    # A star-like non-convex loop.
+    ang = np.linspace(0.0, 2 * np.pi, 11)[:-1]
+    rad = np.where(np.arange(10) % 2 == 0, 1.0, 0.45)
+    loop = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=-1).astype(np.float32)
+    col = sk.polyline(loop, closed=True)
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-1.3, 1.3, size=(250, 2)).astype(np.float32)
+    proj, inside = col.project_point(jnp.asarray(pts))
+    proj = np.asarray(proj)
+    inside = np.asarray(inside)
+
+    segs = [(loop[i], loop[(i + 1) % len(loop)]) for i in range(len(loop))]
+    for p, q, got_in in zip(pts, proj, inside):
+        best_d2 = np.inf
+        for a, b in segs:
+            d = b - a
+            t = np.clip(np.dot(p - a, d) / max(np.dot(d, d), 1e-20), 0.0, 1.0)
+            cand = a + t * d
+            best_d2 = min(best_d2, float(np.dot(p - cand, p - cand)))
+        got_d2 = float(np.dot(p - q, p - q))
+        np.testing.assert_allclose(got_d2, best_d2, atol=1e-5, rtol=1e-4)
+        # Even-odd crossing containment oracle (skip near-boundary ties).
+        cross = 0
+        for a, b in segs:
+            if (a[1] > p[1]) != (b[1] > p[1]):
+                x = a[0] + (p[1] - a[1]) / (b[1] - a[1]) * (b[0] - a[0])
+                if x > p[0]:
+                    cross += 1
+        if np.sqrt(best_d2) > 1e-3:
+            assert bool(got_in) == (cross % 2 == 1), (p, cross)
