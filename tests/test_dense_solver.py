@@ -262,3 +262,62 @@ def test_trimesh_collider_matches_cuboid():
     pb, ib = box.project_point(pts)
     np.testing.assert_array_equal(np.asarray(im), np.asarray(ib))
     np.testing.assert_allclose(np.asarray(pm), np.asarray(pb), atol=1e-5)
+
+
+def test_simulation_dofs_lock_x():
+    """LOCK_X zeroes the grid x DOF: particles with initial x velocity stop
+    moving in x after the first transfer cycle (ref: SimulationDofs lock
+    flags applied in grid_update.rs)."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2.0e4, 0.3))]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.5), counts=(8, 8), model_id=0,
+        particle_radius=0.0125, density0=1000.0,
+    )
+    p = p.replace(velocity=jnp.broadcast_to(
+        jnp.asarray([1.5, 0.0], jnp.float32), (p.capacity, 2)))
+    params = sk.SolverParameters(
+        dt=1.0 / 60.0, simulation_dofs=sk.SimulationDofs.LOCK_X,
+    )
+    pipe = sk.MpmPipeline(grid, models, [], params, [0.0, -9.81])
+    x0 = np.asarray(p.position)[:, 0].copy()
+    for _ in range(3):
+        p, _ = pipe.step_with_stats(p)
+    vel = np.asarray(p.velocity)
+    pos = np.asarray(p.position)
+    assert np.abs(vel[:, 0]).max() < 1e-4
+    # Only pre-lock advection (< one substep of drift) in x; y fell freely.
+    assert np.abs(pos[:, 0] - x0).max() < 0.05
+    assert vel[:, 1].min() < -0.3
+
+
+def test_boundary_particle_projection_flag():
+    """enable_boundary_particle_projection pushes penetrating particles back
+    to the collider surface each substep (ref grid_to_particle.rs final
+    stage); with the flag on, no particle ends up meaningfully inside."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(1.0e4, 0.3))]
+    )
+
+    def run(flag):
+        p = sk.cube_particles(
+            origin=(1.0, 0.62), counts=(10, 10), model_id=0,
+            particle_radius=0.0125, density0=1000.0,
+        )
+        p = p.replace(velocity=jnp.broadcast_to(
+            jnp.asarray([0.0, -2.0], jnp.float32), (p.capacity, 2)))
+        colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.0)]
+        params = sk.SolverParameters(
+            dt=1.0 / 60.0, enable_boundary_particle_projection=flag,
+        )
+        pipe = sk.MpmPipeline(grid, models, colliders, params, [0.0, -9.81])
+        for _ in range(6):
+            p, _ = pipe.step_with_stats(p)
+        return np.asarray(p.position)
+
+    pos_on = run(True)
+    # Collider surface is y = 0.5; with projection on, nothing sinks below.
+    assert pos_on[:, 1].min() > 0.5 - 1e-4
