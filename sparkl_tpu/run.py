@@ -59,12 +59,24 @@ def main(argv=None):
     pipe = sk.auto_pipeline(b, prefer=args.pipeline)
     print(f"pipeline={type(pipe).__name__}")
 
-    if args.profile and args.pipeline == "sparse":
-        from sparkl_tpu.utils.timings import profile_sparse_substep
+    if args.profile:
+        from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+        from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
+        from sparkl_tpu.utils.timings import (
+            profile_fused_substep,
+            profile_sparse_substep,
+        )
 
-        t = profile_sparse_substep(pipe, b.particles)
-        print("substep stage timings:")
-        print(t.pretty())
+        if isinstance(pipe, FusedMpmPipeline):
+            t = profile_fused_substep(pipe, b.particles)
+        elif isinstance(pipe, SparseMpmPipeline):
+            t = profile_sparse_substep(pipe, b.particles)
+        else:
+            t = None
+            print(f"--profile: no per-stage profiler for {type(pipe).__name__}")
+        if t is not None:
+            print("substep stage timings:")
+            print(t.pretty())
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

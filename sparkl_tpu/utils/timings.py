@@ -56,6 +56,140 @@ class SubstepTimings:
         return "\n".join(rows)
 
 
+@dataclass
+class FusedSubstepTimings:
+    """Per-stage breakdown of one FusedMpmPipeline substep, milliseconds.
+
+    Stage names mirror the fused architecture (BASELINE.md round-2 table):
+    kernel A = stress + P2G window images (Pallas), merge = window-image
+    scatter into the block grid, grid_update (with the cached collider
+    projections), windows = grid window gather, kernel B = G2P + full
+    particle update + next dt bound (Pallas), resort = structure rebuild +
+    slot permute (the lazy path pays this only on drift), eigen_pool = the
+    pairwise damage pooling kernel (eigenerosion scenes only).
+    Same ~RTT-per-stage bias caveat as SubstepTimings."""
+
+    kernel_a: float = 0.0
+    merge: float = 0.0
+    grid_update: float = 0.0
+    windows: float = 0.0
+    kernel_b: float = 0.0
+    resort: float = 0.0
+    eigen_pool: float = 0.0
+    total: float = 0.0
+
+    as_dict = SubstepTimings.as_dict
+    pretty = SubstepTimings.pretty
+
+
+def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimings:
+    """Stage-by-stage timing of one FusedMpmPipeline substep (reproduces
+    every per-stage fused number in BASELINE.md; ref: the reference's
+    always-on CudaTimestepTimings discipline, cuda_mpm_pipeline.rs:30-85)."""
+    from sparkl_tpu.core.grid import GridState
+    from sparkl_tpu.core.params import DamageModel
+    from sparkl_tpu.math import linalg
+    from sparkl_tpu.sparse import blocks as B, transfer as T
+    from sparkl_tpu.solver import dense
+    from sparkl_tpu.fused import kernels as K, layout as L
+
+    pipe._ensure_cfg(particles)
+    grid, cfg, params = pipe.grid, pipe._cfg, pipe.params
+    dim = grid.dim
+    cpb = B.cells_per_block(dim)
+    with_psi = pipe._meta["with_psi"]
+    nf = 1 + dim + (2 if with_psi else 0)
+    interp = pipe._interpret
+
+    state = pipe._pack(particles)
+    dtj = jnp.asarray(dt, jnp.float32)
+
+    def timeit(f, *a):
+        r = f(*a)
+        _sync(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*a)
+        _sync(r)
+        return (time.perf_counter() - t0) / iters * 1000.0, r
+
+    t = FusedSubstepTimings()
+
+    f_a = jax.jit(
+        lambda slots, ints, d: K.p2g_fused(
+            grid, cfg, pipe._meta, slots, ints, d, pipe._tab_f, pipe._tab_i,
+            interpret=interp,
+        )
+    )
+    t.kernel_a, images = timeit(f_a, state.slots, state.ints, dtj)
+
+    f_m = jax.jit(
+        lambda im: T.merge_images_to_grid(grid, cfg, state.structure, im)
+    )
+    t.merge, node = timeit(f_m, images)
+
+    nodef = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
+    mass = nodef[:, 0, :]
+    mom = jnp.moveaxis(nodef[:, 1 : 1 + dim, :], 1, -1)
+    psi_mom_g = nodef[:, 1 + dim, :] if with_psi else jnp.zeros_like(mass)
+    psi_mass_g = nodef[:, 2 + dim, :] if with_psi else jnp.zeros_like(mass)
+    node_pos, projections = state.grid_cache
+
+    def f_gu(mass, mom):
+        vel = (mom + mass[..., None] * pipe.gravity * dt) * linalg.inv_exact(
+            mass
+        )[..., None]
+        gs = GridState(mass=mass, momentum=mom, velocity=vel,
+                       psi_momentum=psi_mom_g, psi_mass=psi_mass_g)
+        gs = dense.grid_update(
+            grid, gs, pipe.colliders, dt, params.boundary_handling,
+            params.simulation_dofs, node_positions=node_pos,
+            projections=projections,
+        )
+        return gs.velocity.at[cfg.max_grid_blocks].set(0.0)
+
+    t.grid_update, velocity = timeit(jax.jit(f_gu), mass, mom)
+
+    def f_w(velocity):
+        win_parts = [jnp.moveaxis(velocity, -1, 1)]
+        if with_psi:
+            win_parts.append(
+                (psi_mom_g * linalg.inv_exact(psi_mass_g))[:, None, :]
+            )
+        n_win = dim + (1 if with_psi else 0)
+        win_fields = jnp.concatenate(win_parts, axis=1).reshape(
+            cfg.max_grid_blocks + 1, n_win * cpb
+        )
+        return T.gather_grid_windows(grid, cfg, state.structure, win_fields)
+
+    t.windows, windows = timeit(jax.jit(f_w), velocity)
+
+    f_b = jax.jit(
+        lambda slots, ints, win, d: K.g2p_fused(
+            grid, cfg, pipe._meta, pipe._kparams, slots, ints, win, d,
+            pipe._tab_f, pipe._tab_i, interpret=interp,
+        )
+    )
+    t.kernel_b, _ = timeit(f_b, state.slots, state.ints, windows, dtj)
+
+    f_r = jax.jit(
+        lambda s: L.resort(
+            grid, cfg, s, dim, interpret=interp, cache_fn=pipe._grid_cache
+        )[0].slots
+    )
+    t.resort, _ = timeit(f_r, state)
+
+    if params.damage_model == DamageModel.EIGENEROSION:
+        f_e = jax.jit(lambda s: pipe._evolve_eigenerosion(s)[0].slots)
+        t.eigen_pool, _ = timeit(f_e, state)
+
+    # total = the per-substep cost on the lazy path (resort amortized out);
+    # add `resort` when estimating a falling-phase (resort-heavy) substep.
+    t.total = t.kernel_a + t.merge + t.grid_update + t.windows + t.kernel_b \
+        + t.eigen_pool
+    return t
+
+
 def profile_sparse_substep(pipe, particles, dt=1e-3, iters=5) -> SubstepTimings:
     """Stage-by-stage timing of one SparseMpmPipeline substep."""
     from sparkl_tpu.sparse import blocks as B, transfer as T
