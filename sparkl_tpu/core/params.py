@@ -48,3 +48,9 @@ class SolverParameters:
     # component crosses a full cell per substep (particle_updater.rs:113-121);
     # its CPU pipeline does not. Off by default (CPU semantics).
     gpu_velocity_clamp: bool = False
+    # GPU-pipeline boundary semantics: FrictionZUp in 3D applies friction
+    # only where the contact normal's z-component is >= 0
+    # (grid_update.rs:160-165); the CPU pipeline treats FrictionZUp exactly
+    # like Friction (src/dynamics/solver/grid_update.rs:95). Off by default
+    # (CPU semantics, like gpu_velocity_clamp).
+    gpu_boundary_semantics: bool = False

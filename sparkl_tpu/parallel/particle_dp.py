@@ -125,7 +125,7 @@ class ParticleDpPipeline(MpmPipeline):
             dt = jax.lax.pmin(dt, ax)
             dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
-            state = dense.p2g_scatter(grid, p, models, dt)
+            state = dense.p2g_scatter(grid, p, models, dt, self.colliders)
             state = self._psum_grid(state)
             state = dense.p2g_finalize(state, dt, self.gravity)
             state = dense.grid_update(
@@ -136,6 +136,7 @@ class ParticleDpPipeline(MpmPipeline):
                 params.boundary_handling,
                 params.simulation_dofs,
                 node_positions=self._node_positions,
+                gpu_boundary_semantics=params.gpu_boundary_semantics,
             )
             state = self.hooks.post_grid_update(state, grid, dt, self._node_positions)
             p = dense.g2p_update(

@@ -55,12 +55,35 @@ def mark_out_of_grid_failed(grid: GridParams, p):
     return p.replace(failed=p.failed | (p.active & ~ok))
 
 
-def p2g_scatter(grid: GridParams, p, models: registry.ModelSet, dt):
+def penalty_velocity_delta(colliders, position, mass, dt):
+    """Per-particle velocity-equivalent of the collider penalty force:
+    delta_v = (sum over penalty colliders of (proj - pos) * stiffness,
+    inside only) * dt / m — so that m * (v + delta_v) = m*v + force*dt, the
+    momentum the reference's g2p2g scatters (ref: particle_updater.rs:203-232
+    computes the force, g2p2g.rs:287 adds force*dt to the scattered momentum;
+    the reference gates the block on a hardcoded `if false`, so stiffness 0 —
+    the default — reproduces its effective behavior). Returns None when no
+    collider opts in (zero-cost static gate)."""
+    pen = [c for c in colliders if float(c.penalty_stiffness) > 0.0]
+    if not pen:
+        return None
+    force = jnp.zeros_like(position)
+    for c in pen:
+        proj, inside = c.project_point(position)
+        force = force + jnp.where(
+            inside[..., None], (proj - position) * c.penalty_stiffness, 0.0
+        )
+    return force * (dt * linalg.inv_exact(mass))[..., None]
+
+
+def p2g_scatter(grid: GridParams, p, models: registry.ModelSet, dt,
+                colliders=()):
     """APIC particle-to-grid scatter (raw sums, no velocity yet).
 
     Ref: particle_to_grid.rs `particle_to_grid_scatter` — per-particle stress
     via the constitutive model, affine = m·C − V0·D⁻¹·dt·σ, scatter of
-    {mass, momentum, psi} over the 3^d stencil.
+    {mass, momentum, psi} over the 3^d stencil. `colliders` only contribute
+    here through penalty stiffness (see penalty_velocity_delta).
 
     Split from `p2g_finalize` so the multi-chip path can psum partial grids
     between the two (ref: the halo-merge additive reduction in
@@ -86,7 +109,11 @@ def p2g_scatter(grid: GridParams, p, models: registry.ModelSet, dt):
         p.mass[..., None, None] * p.velocity_gradient
         - (p.volume0 * invd * dt)[..., None, None] * stress
     )
-    momentum = p.mass[..., None] * p.velocity
+    velocity = p.velocity
+    pen = penalty_velocity_delta(colliders, p.position, p.mass, dt)
+    if pen is not None:
+        velocity = velocity + pen
+    momentum = p.mass[..., None] * velocity
 
     psi_mass_p = jnp.where(
         (p.phase > 0.0) & (p.crack_propagation_factor != 0.0) & ~p.failed,
@@ -157,9 +184,10 @@ def p2g_finalize(state: GridState, dt, gravity):
     return state.replace(velocity=velocity)
 
 
-def p2g(grid: GridParams, p, models: registry.ModelSet, dt, gravity):
+def p2g(grid: GridParams, p, models: registry.ModelSet, dt, gravity,
+        colliders=()):
     """Full P2G: scatter + gravity/mass normalization."""
-    return p2g_finalize(p2g_scatter(grid, p, models, dt), dt, gravity)
+    return p2g_finalize(p2g_scatter(grid, p, models, dt, colliders), dt, gravity)
 
 
 def grid_node_projections(colliders, node_positions):
@@ -180,6 +208,7 @@ def grid_update(
     simulation_dofs: SimulationDofs,
     node_positions=None,
     projections=None,
+    gpu_boundary_semantics: bool = False,
 ):
     """Per-node DOF locking + collider boundary conditions.
 
@@ -187,7 +216,10 @@ def grid_update(
     Friction projects out approaching normal velocity with Coulomb tangential
     decay and a penetration-margin correction one cell ahead of the surface.
     `projections` (grid_node_projections) skips the per-substep collider
-    projection when the caller caches it.
+    projection when the caller caches it. With `gpu_boundary_semantics`,
+    FrictionZUp in 3D gates friction on the contact normal's z-component
+    (ref GPU path: src_kernels/cuda/grid_update.rs:160-165); off, it aliases
+    Friction (ref CPU path: src/dynamics/solver/grid_update.rs:95).
     """
     vel = state.velocity
     mom = state.momentum
@@ -258,6 +290,14 @@ def grid_update(
             jnp.where(tunnel[..., None], corrected, vel),
         )
         apply = has_normal & approaching
+        if (
+            gpu_boundary_semantics
+            and grid.dim == 3
+            and bh == BoundaryHandling.FRICTION_Z_UP
+        ):
+            # GPU z-gate: no boundary response where the contact normal
+            # points downward (grid_update.rs:160-165).
+            apply = apply & (normal[..., 2] >= 0.0)
         vel = jnp.where(apply[..., None], new_vel, vel)
 
     return state.replace(velocity=vel, momentum=mom)

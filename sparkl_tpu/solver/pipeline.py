@@ -99,7 +99,7 @@ class MpmPipeline:
 
     def _substep(self, p, dt):
         grid, models, params = self.grid, self.models, self.params
-        state = dense.p2g(grid, p, models, dt, self.gravity)
+        state = dense.p2g(grid, p, models, dt, self.gravity, self.colliders)
         state = dense.grid_update(
             grid,
             state,
@@ -108,6 +108,7 @@ class MpmPipeline:
             params.boundary_handling,
             params.simulation_dofs,
             node_positions=self._node_positions,
+            gpu_boundary_semantics=params.gpu_boundary_semantics,
         )
         state = self.hooks.post_grid_update(state, grid, dt, self._node_positions)
         p = dense.g2p_update(
