@@ -170,12 +170,25 @@ class SparseMpmPipeline:
         p, ov = evolve_eigenerosion(self.grid, p, self._eigen_k)
         return p, ov.astype(jnp.int32) * OVERFLOW_EIGEN
 
-    def _update_phase_field_p(self, p, dt):
-        """CD-MPM phase-field CG (dense-grid formulation); the domain
-        subclass supplies a cross-shard grid reduction."""
-        from sparkl_tpu.solver.phase_field import update_phase_field
+    def _update_phase_field_p(self, p, dt, structure=None):
+        """CD-MPM phase-field CG on the active-block node table (the CG work
+        arrays shrink from res^d to active_blocks*4^d — the reference's
+        phase field lives on its sparse SpGrid too, phase_field.rs); the
+        domain subclass overrides with the dense space + psum."""
+        from sparkl_tpu.solver.phase_field import (
+            BlockNodeSpace,
+            update_phase_field,
+        )
 
-        return update_phase_field(self.grid, p, self.models, dt)
+        space = None
+        if structure is not None:
+            space = BlockNodeSpace(
+                self.grid, structure.grid_keys, B._block_space(self.grid),
+                block_offset=0,
+            )
+        return update_phase_field(
+            self.grid, p, self.models, dt, node_space=space
+        )
 
     @property
     def _with_psi(self):
@@ -219,6 +232,16 @@ class SparseMpmPipeline:
         )
         psi_mom_p = psi_mass_p * p.psi_pos
 
+        # Penalty-stiffness collider coupling rides the momentum channel as
+        # an effective velocity: m*(v + dv) = m*v + force*dt (dense.p2g's
+        # contract; None unless a collider opts in).
+        velocity_p2g = p.velocity
+        pen = dense.penalty_velocity_delta(
+            self.colliders, p.position, p.mass, dt
+        )
+        if pen is not None:
+            velocity_p2g = velocity_p2g + pen
+
         # P2G.
         if self.use_pallas:
             from sparkl_tpu.ops import transfer_kernels as K
@@ -226,7 +249,7 @@ class SparseMpmPipeline:
             # One wide-row gather into f-major chunk-slot layout, then the
             # double-buffered window kernel (weights live only in VMEM).
             packed = K.pack_p2g_inputs(
-                p.position, p.mass, p.velocity, affine, psi_mass_p, psi_mom_p
+                p.position, p.mass, velocity_p2g, affine, psi_mass_p, psi_mom_p
             )
             slot_data = K.gather_slot_data(cfg, structure, packed)
             images = K.p2g_windows_pallas(
@@ -243,7 +266,7 @@ class SparseMpmPipeline:
                 structure,
                 p.position,
                 p.mass,
-                p.velocity,
+                velocity_p2g,
                 affine,
                 psi_mass_p,
                 psi_mom_p,
@@ -290,6 +313,7 @@ class SparseMpmPipeline:
             params.boundary_handling,
             params.simulation_dofs,
             node_positions=node_pos,
+            gpu_boundary_semantics=params.gpu_boundary_semantics,
         )
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
@@ -397,7 +421,7 @@ class SparseMpmPipeline:
                 p, eig_flags = self._evolve_eigenerosion_p(p)
                 overflow = overflow | eig_flags
             elif params.damage_model == DamageModel.CD_MPM:
-                p = self._update_phase_field_p(p, dt)
+                p = self._update_phase_field_p(p, dt, structure)
 
             p, ov = self._substep(p, dt, structure, inv_perm)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)

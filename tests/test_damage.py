@@ -193,3 +193,76 @@ def test_eigenerosion_bucket_overflow_regrows():
     # Pooled energies must match a run that had enough capacity up front.
     p2, ov = evolve_eigenerosion(grid, p, max_per_cell=64)
     assert not bool(ov)
+
+
+def test_phase_field_block_space_matches_dense():
+    """The block-table CG (BlockNodeSpace, sparse pipeline) reproduces the
+    dense-grid CG exactly — the work arrays shrink to active_blocks*4^d but
+    the operator is identical node-for-node."""
+    from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
+
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.35))]
+    )
+    p = sk.cube_particles((1.0, 1.6), (10, 8), 0, 0.0125, 1000.0)
+    p = p.replace(
+        m_c=jnp.full((p.capacity,), 0.01), g=jnp.full((p.capacity,), 1.0),
+        psi_pos=jnp.full((p.capacity,), 100.0),
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25))]
+    params = sk.SolverParameters(
+        dt=1 / 60, damage_model=sk.DamageModel.CD_MPM,
+        stop_after_one_substep=True,
+    )
+    pd = MpmPipeline(grid, models, colliders, params, [0.0, -9.81]).step(
+        jax.tree_util.tree_map(jnp.array, p)
+    )
+    ps = SparseMpmPipeline(grid, models, colliders, params, [0.0, -9.81]).step(
+        jax.tree_util.tree_map(jnp.array, p)
+    )
+    act = np.asarray(pd.active)
+    ph_d = np.asarray(pd.phase)[act]
+    ph_s = np.asarray(ps.phase)[np.asarray(ps.active)]
+    assert (ph_d < 1.0).sum() > 0  # the phase actually evolved
+    np.testing.assert_allclose(ph_s, ph_d, atol=1e-5)
+
+
+def test_phase_field_fused_matches_dense():
+    """CD-MPM on the fused pipeline (ob2 block node table, slot rows):
+    phases and trajectories match the dense reference."""
+    from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.35))]
+    )
+    p = sk.cube_particles((1.0, 1.6), (10, 8), 0, 0.0125, 1000.0)
+    p = p.replace(
+        m_c=jnp.full((p.capacity,), 0.01), g=jnp.full((p.capacity,), 1.0),
+        psi_pos=jnp.full((p.capacity,), 100.0),
+    )
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25))]
+    params = sk.SolverParameters(
+        dt=1 / 60, damage_model=sk.DamageModel.CD_MPM,
+        stop_after_one_substep=True,
+    )
+    ok, why = FusedMpmPipeline.supports(models, params)
+    assert ok, why
+    pd = MpmPipeline(grid, models, colliders, params, [0.0, -9.81]).step(
+        jax.tree_util.tree_map(jnp.array, p)
+    )
+    pf = FusedMpmPipeline(grid, models, colliders, params, [0.0, -9.81]).step(
+        jax.tree_util.tree_map(jnp.array, p)
+    )
+    act = np.asarray(pd.active)
+    pos_d = np.asarray(pd.position)[act]
+    actf = np.asarray(pf.active)
+    pos_f = np.asarray(pf.position)[actf]
+    od = np.lexsort(pos_d.T)
+    of = np.lexsort(pos_f.T)
+    np.testing.assert_allclose(pos_d[od], pos_f[of], atol=1e-6)
+    ph_d = np.asarray(pd.phase)[act][od]
+    ph_f = np.asarray(pf.phase)[actf][of]
+    assert (ph_d < 1.0).sum() > 0
+    np.testing.assert_allclose(ph_f, ph_d, atol=1e-5)
