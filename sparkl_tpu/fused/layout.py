@@ -271,14 +271,23 @@ def _write_origin_rows(ints, structure, d):
 
 
 def unpack(grid: GridParams, cfg: BlockConfig, state: SlotState, capacity: int,
-           dim: int) -> Particles:
+           dim: int, compact_ids: bool = False) -> Particles:
     """Slot state -> Particles pytree in original order. Slots that hold no
-    particle leave their pytree row at Particles.empty defaults."""
+    particle leave their pytree row at Particles.empty defaults.
+
+    `compact_ids` assigns pytree rows by slot order instead of the original
+    index — required under domain decomposition, where migration makes
+    original indices collide across shards (two shards can each hold a
+    particle packed at the same source row)."""
     r = Rows(dim)
     flat = jnp.moveaxis(state.slots, 1, 2).reshape(-1, r.nf)  # [S, NF]
     iflat = jnp.moveaxis(state.ints, 1, 2).reshape(-1, NI)
     occupied = (iflat[:, I_FLAGS] & OCCUPIED) != 0
-    ids = jnp.where(occupied, iflat[:, I_ORIG], capacity)  # drop empties
+    if compact_ids:
+        rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+        ids = jnp.where(occupied, rank, capacity)  # drop empties
+    else:
+        ids = jnp.where(occupied, iflat[:, I_ORIG], capacity)  # drop empties
 
     empty = Particles.empty(capacity, dim)
     dtb0 = jnp.zeros((capacity,), jnp.float32)

@@ -14,11 +14,14 @@ sparse.SparseMpmPipeline (same physics, same trajectories):
     one wide row-permute, amortized over many substeps (the reference
     re-sorts every substep, `src/cuda/cuda_sparse_grid.rs launch_sort`).
 
-Supported: all built-in constitutive/plastic/failure models, eigenerosion +
-modified eigenerosion, fluid volume recomputation, grid hooks, all collider
-boundary handling. NOT supported (falls back to SparseMpmPipeline via
-`supports()`): CD-MPM phase field, custom Python models, boundary particle
-projection, domain decomposition.
+Supported: all built-in constitutive/plastic/failure models, the full
+damage family (eigenerosion, modified eigenerosion, CD-MPM phase field on
+the ob2 block node table), fluid volume recomputation, grid hooks, all
+collider boundary handling, and multi-chip domain decomposition (via the
+parallel.domain.DomainFusedPipeline subclass, which injects halo merge /
+dt pmin / slot migration through the hook attributes below). NOT supported
+(falls back to SparseMpmPipeline via `supports()`): custom Python models,
+boundary particle projection.
 """
 
 from typing import Optional
@@ -104,12 +107,20 @@ class FusedMpmPipeline:
         # chunks per block (nominal packing fills a block with <= 2 chunks in
         # 2D / 4 in 3D; compression can exceed it -> detected + regrown).
         self._eigen_mcb = 2 if grid.dim == 2 else 4
+        # Injection points for the domain-decomposed subclass
+        # (parallel.domain.DomainFusedPipeline) — mirrors the sparse
+        # pipeline's hooks so the SAME halo/migration machinery drives the
+        # flagship kernels (ref: the reference runs its one hot pipeline
+        # under the multi-GPU halo path, cuda_mpm_pipeline.rs:407-533).
+        self._halo_fn = None          # (node_table, structure) -> (node, ovf)
+        self._dt_reduce = None        # dt -> dt (lax.pmin)
+        self._need_sync = None        # resort trigger bool -> global bool
+        self._slot_migrate_fn = None  # SlotState -> (SlotState, ovf_bool)
+        self._eigen_ghost_fn = None   # (state, eligible) -> (g0, g1, flags)
 
     @staticmethod
     def supports(models: registry.ModelSet, params: SolverParameters):
         """(ok, reason): can this scene run on the fused path?"""
-        if params.damage_model == DamageModel.CD_MPM:
-            return False, "CD-MPM phase field (use SparseMpmPipeline)"
         if params.enable_boundary_particle_projection:
             return False, "boundary particle projection"
         for t in models.present_c:
@@ -172,6 +183,11 @@ class FusedMpmPipeline:
             vma=self._kernel_vma,
         )
         node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        halo_ov = jnp.asarray(False)
+        if self._halo_fn is not None:
+            # Boundary-column partial masses summed across shards before the
+            # density gather (the multi-chip extension of fluids_volume.rs).
+            node, halo_ov = self._halo_fn(node, state.structure)
         windows = T.gather_grid_windows(grid, cfg, state.structure, node)
         out = K.mass_g2p_fused(
             grid, cfg, state.slots, state.ints, windows,
@@ -195,7 +211,7 @@ class FusedMpmPipeline:
         # The EOS dt bound depends on F00 — refresh the carried bound row
         # (the sparse pipeline recomputes bounds after the volume pass too).
         slots = self._refresh_dtb_rows(state.replace(slots=slots))
-        return state.replace(slots=slots)
+        return state.replace(slots=slots), halo_ov
 
     def _refresh_dtb_rows(self, state):
         """Recompute the dt-bound row from current slot rows in XLA (only
@@ -336,9 +352,19 @@ class FusedMpmPipeline:
         pooled = K.eigen_pool_fused(
             grid, cfg, e, g, interpret=self._interpret, vma=self._kernel_vma
         )
+        pool0 = pooled[:, 0, :]
+        pool1 = pooled[:, 1, :]
+        cand_ov = cand_ov.astype(jnp.int32) * OVERFLOW_EIGEN
+        if self._eigen_ghost_fn is not None:
+            # Cross-shard ghost contributions: exact pairwise sums against
+            # boundary-strip particles of neighbor tiles (domain subclass).
+            g0, g1, gov = self._eigen_ghost_fn(state, eligible)
+            pool0 = pool0 + g0
+            pool1 = pool1 + g1
+            cand_ov = cand_ov | gov
 
-        par1 = slots[:, r.par1, :] + jnp.where(eligible, pooled[:, 0, :], 0.0)
-        par2 = slots[:, r.par2, :] + jnp.where(eligible, pooled[:, 1, :], 0.0)
+        par1 = slots[:, r.par1, :] + jnp.where(eligible, pool0, 0.0)
+        par2 = slots[:, r.par2, :] + jnp.where(eligible, pool1, 0.0)
         has_crack = cpf != 0.0
         safe2 = jnp.where(par2 > 0.0, par2, 1.0)
         energy = par1 * cpf * grid.cell_width / safe2
@@ -346,6 +372,37 @@ class FusedMpmPipeline:
         slots = slots.at[:, r.par1, :].set(jnp.where(has_crack, energy, par1))
         slots = slots.at[:, r.phase, :].set(jnp.where(trip, 0.0, phase))
         return state.replace(slots=slots), cand_ov
+
+    def _update_phase_field_slots(self, state, dt):
+        """CD-MPM phase field on slot rows: the CG runs on the ob2
+        active-block node table (no dense grid anywhere; ref:
+        phase_field.rs:11-317 runs on the sparse SpGrid). The phase stencil
+        (base+1, base+2 per axis — the shifted-tap geometry in
+        solver/phase_field.py) stays inside the owner + corner blocks even
+        at maximal (<1 cell) slot drift, so no resort is forced."""
+        from sparkl_tpu.math import cmat
+        from sparkl_tpu.solver import phase_field as PF
+
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        slots = state.slots
+        row = lambda k: slots[:, k, :].reshape(-1)
+        pos = jnp.stack([row(r.pos + ax) for ax in range(d)], axis=-1)
+        active = self._active(state).reshape(-1)
+        f = [[row(r.defgrad + i * d + j) for j in range(d)] for i in range(d)]
+        volume = jnp.where(active, row(r.vol0) * cmat.det_c(f), 0.0)
+        space = PF.BlockNodeSpace(
+            grid, state.structure.grid_keys, S.block_space_ob2(grid),
+            block_offset=1,
+        )
+        phase = PF.update_phase_field_arrays(
+            grid, pos, active, row(r.phase), row(r.psi_pos), row(r.m_c),
+            row(r.g), volume, dt, node_space=space,
+        )
+        c = cfg.chunk_size
+        return state.replace(
+            slots=slots.at[:, r.phase, :].set(phase.reshape(cfg.max_chunks, c))
+        )
 
     # -- one substep (traced) --------------------------------------------------
 
@@ -356,12 +413,34 @@ class FusedMpmPipeline:
         with_psi = self._meta["with_psi"]
         nf = 1 + dim + (2 if with_psi else 0)
 
+        slots_p2g = state.slots
+        if any(float(c.penalty_stiffness) > 0.0 for c in self.colliders):
+            # Penalty-stiffness coupling: adjust the velocity rows seen by
+            # kernel A so the scattered momentum is m*v + force*dt
+            # (dense.penalty_velocity_delta's contract); particle state is
+            # untouched.
+            pos = jnp.stack(
+                [state.slots[:, r.pos + ax, :] for ax in range(dim)], axis=-1
+            )
+            pen = dense.penalty_velocity_delta(
+                self.colliders, pos, state.slots[:, r.mass, :], dt
+            )
+            for ax in range(dim):
+                slots_p2g = slots_p2g.at[:, r.vel + ax, :].add(pen[..., ax])
+
         images = K.p2g_fused(
-            grid, cfg, self._meta, state.slots, state.ints, dt,
+            grid, cfg, self._meta, slots_p2g, state.ints, dt,
             self._tab_f, self._tab_i, interpret=self._interpret,
             vma=self._kernel_vma,
         )
         node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        halo_ov = jnp.asarray(False)
+        if self._halo_fn is not None:
+            # Cross-device additive merge of boundary-layer block rows
+            # (ref: sort.rs merge_halo_blocks) — boundary storage columns end
+            # up replicated-and-complete on both owners, so the per-shard
+            # grid update + G2P below see identical values.
+            node, halo_ov = self._halo_fn(node, state.structure)
         node = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)
 
         mass = node[:, 0, :]
@@ -388,6 +467,7 @@ class FusedMpmPipeline:
             grid, gstate, self.colliders, dt, params.boundary_handling,
             params.simulation_dofs, node_positions=node_pos,
             projections=projections,
+            gpu_boundary_semantics=params.gpu_boundary_semantics,
         )
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
@@ -416,7 +496,7 @@ class FusedMpmPipeline:
         return state.replace(
             slots=new_slots,
             cum_disp=jnp.max(new_slots[:, r.cumd, :]),
-        )
+        ), halo_ov
 
     def _step_body(self, state, remaining, overflow, peak):
         """One substep incl. the lazy resort; returns (state, dt, ...)."""
@@ -424,16 +504,27 @@ class FusedMpmPipeline:
         min_dt = params.dt / params.max_num_substeps
 
         # Lazy resort: the ob2 window is valid while accumulated drift stays
-        # under one cell; rebuild + permute only when needed.
+        # under one cell; rebuild + permute only when needed. Under domain
+        # decomposition the trigger is globally synchronized (pmax) so every
+        # shard enters the collective migration + resort together.
         need = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
+        if self._need_sync is not None:
+            need = self._need_sync(need)
 
         def do_resort(s):
+            mig_ov = jnp.asarray(0, jnp.int32)
+            if self._slot_migrate_fn is not None:
+                # Slot-row migration: particles whose ob2 block left this
+                # shard's tile hop to the owning neighbor before the local
+                # rebuild (the fused counterpart of domain._migrate).
+                s, mov = self._slot_migrate_fn(s)
+                mig_ov = mov.astype(jnp.int32) * OVERFLOW_TABLES
             s2, ov = L.resort(
                 grid, cfg, s, grid.dim,
                 interpret=self._interpret, vma=self._kernel_vma,
                 cache_fn=self._grid_cache,
             )
-            return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
+            return s2, mig_ov | ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         def no_resort(s):
             return s, jnp.asarray(0, jnp.int32)
@@ -447,19 +538,25 @@ class FusedMpmPipeline:
         # positions == the dense pipeline's top-of-next-substep mark).
 
         if params.force_fluids_volume_recomputation:
-            state = self._recompute_fluids(state)
+            state, fv_ov = self._recompute_fluids(state)
+            overflow = overflow | fv_ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         occupied = self._occupied(state)
         dtb = jnp.where(occupied, state.slots[:, r.dtb, :], jnp.inf)
         max_dt = jnp.minimum(remaining, params.max_substep_dt)
         dt = jnp.minimum(jnp.min(dtb), max_dt)
+        if self._dt_reduce is not None:
+            dt = self._dt_reduce(dt)
         dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
         if params.damage_model == DamageModel.EIGENEROSION:
             state, eig_ov = self._evolve_eigenerosion(state)
-            overflow = overflow | eig_ov.astype(jnp.int32) * OVERFLOW_EIGEN
+            overflow = overflow | eig_ov
+        elif params.damage_model == DamageModel.CD_MPM:
+            state = self._update_phase_field_slots(state, dt)
 
-        state = self._substep(state, dt)
+        state, sub_ov = self._substep(state, dt)
+        overflow = overflow | sub_ov.astype(jnp.int32) * OVERFLOW_TABLES
         remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
         return state, remaining, overflow, peak, nresort
 

@@ -37,6 +37,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sparkl_tpu.core.grid import GridParams
 from sparkl_tpu.core.params import DamageModel, SolverParameters
+from sparkl_tpu.fused import layout as FL
+from sparkl_tpu.fused import structure as FS
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
 from sparkl_tpu.sparse import blocks as B
 from sparkl_tpu.sparse.pipeline import (
     SparseMpmPipeline,
@@ -61,29 +64,17 @@ def _compact_rows(values, flags, capacity):
     return values[take], sel, take
 
 
-class DomainSparsePipeline(SparseMpmPipeline):
-    """SparseMpmPipeline sharded over slab/tile domains on a 1D or 2D mesh.
+class _DomainMixin:
+    """Mesh/tile machinery shared by the sparse and fused domain pipelines:
+    tile bounds, shard-of-key lookup, particle distribution, neighbor
+    ppermute pairs, the additive halo merge, and host-side load rebalancing.
 
-    1D (default): `Mesh(devices, ("x",))` — slabs of block columns along
-    grid axis 0. 2D: `Mesh(devices.reshape(a, b), ("x", "z"))` — tiles over
-    grid axes 0 and d-1.
-    """
+    Parameterized by the block space (`_init_domain(bspace=...)`): the sparse
+    pipeline decomposes in the round-1 block space (`blocks._block_space`),
+    the fused pipeline in the off-by-two space (`structure.block_space_ob2`)
+    — the machinery is identical, only key geometry differs."""
 
-    def __init__(
-        self,
-        grid: GridParams,
-        models,
-        colliders=(),
-        params: SolverParameters = SolverParameters(),
-        gravity=None,
-        hooks=None,
-        mesh: Optional[Mesh] = None,
-        axis: str = "x",
-        max_halo_blocks: int = 256,
-        max_migrants: int = 4096,
-        max_ghosts: int = 4096,
-        **kw,
-    ):
+    def _init_domain(self, grid, mesh, axis, bspace, key_fn):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (axis,))
         self.mesh = mesh
@@ -91,12 +82,8 @@ class DomainSparsePipeline(SparseMpmPipeline):
         self.mesh_shape = tuple(int(mesh.shape[a]) for a in self.mesh_axes)
         self.axis = self.mesh_axes[0]  # kept for back-compat call sites
         self.n_shards = int(mesh.devices.size)
-        self.max_halo_blocks = max_halo_blocks
-        self.max_migrants = max_migrants
-        self.max_ghosts = max_ghosts
-
-        bspace = B._block_space(grid)
         self._bspace = bspace
+        self._key_fn = key_fn  # (grid, position, active) -> (key, ok)
         if len(self.mesh_axes) == 1:
             self.decomp_gaxes = (0,)
         elif len(self.mesh_axes) == 2:
@@ -118,15 +105,6 @@ class DomainSparsePipeline(SparseMpmPipeline):
                 np.minimum(np.arange(size + 1, dtype=np.int32) * w, bspace[g])
             )
 
-        super().__init__(grid, models, colliders, params, gravity, hooks, **kw)
-        self._halo_fn = self._halo_exchange
-        self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.mesh_axes)
-        self._migrate_fn = self._migrate
-        self._pvary = lambda x: jax.lax.pcast(x, self.mesh_axes, to="varying")
-        # pallas_call outputs inside shard_map must declare their mesh-axis
-        # variance explicitly (ShapeDtypeStruct vma under check_vma).
-        self._kernel_vma = self.mesh_axes
-
     # -- shard helpers --------------------------------------------------------
 
     def _block_coord(self, keys, g):
@@ -141,7 +119,7 @@ class DomainSparsePipeline(SparseMpmPipeline):
 
     def shard_of_positions(self, position, active):
         """Owning flat shard id per particle (host or device side)."""
-        key, ok = B.particle_block_key(self.grid, position, active)
+        key, ok = self._key_fn(self.grid, position, active)
         flat = jnp.zeros(key.shape, jnp.int32)
         for i in range(len(self.mesh_axes)):
             flat = flat * self.mesh_shape[i] + self._axis_shard_of(key, i)
@@ -177,6 +155,240 @@ class DomainSparsePipeline(SparseMpmPipeline):
         p = Particles(**out)
         sharding = NamedSharding(self.mesh, P(self.mesh_axes))
         return jax.device_put(p, sharding)
+
+    # -- halo exchange ---------------------------------------------------------
+
+    def _neighbor_perms(self, i):
+        """ppermute pairs along mesh axis i (non-circular)."""
+        size = self.mesh_shape[i]
+        right = [(k, k + 1) for k in range(size - 1)]
+        left = [(k + 1, k) for k in range(size - 1)]
+        return right, left
+
+    def _halo_exchange(self, node, structure):
+        """Additive merge of boundary block layers with neighbors, one mesh
+        axis at a time. The second axis sends rows that already include the
+        first axis's merged contributions, so corner blocks accumulate all
+        four quadrants' partials (additive-halo forwarding).
+
+        node: [MGB+1, F*cpb] local partial sums.
+        """
+        cfg = self._cfg
+        keys = structure.grid_keys  # [MGB]
+        valid = keys < jnp.int32(np.prod(self._bspace))
+        overflow = jnp.asarray(False)
+
+        for i, a in enumerate(self.mesh_axes):
+            g = self.decomp_gaxes[i]
+            s_idx = jax.lax.axis_index(a)
+            bounds = jnp.asarray(self.bounds[i], jnp.int32)
+            c0 = bounds[s_idx]
+            c1 = bounds[s_idx + 1]
+            coords = self._block_coord(keys, g)
+            rows = node[: cfg.max_grid_blocks]
+
+            def extract(layer):
+                flags = valid & (coords == layer)
+                r, sel, take = _compact_rows(rows, flags, self.max_halo_blocks)
+                k = keys[take]
+                k = jnp.where(sel, k, jnp.int32(-1))
+                r = r * sel[:, None]
+                ovf = jnp.sum(flags.astype(jnp.int32)) > self.max_halo_blocks
+                return k, r, ovf
+
+            # send left: my partials of my first layer; send right: my spill
+            # into the right neighbor's first layer.
+            kl, rl, ovl = extract(c0)
+            kr, rr, ovr = extract(c1)
+
+            right_perm, left_perm = self._neighbor_perms(i)
+            recv_k_from_left = jax.lax.ppermute(kr, a, right_perm)
+            recv_r_from_left = jax.lax.ppermute(rr, a, right_perm)
+            recv_k_from_right = jax.lax.ppermute(kl, a, left_perm)
+            recv_r_from_right = jax.lax.ppermute(rl, a, left_perm)
+
+            def merge(node_rows, rk, rr_):
+                rk_safe = jnp.where(rk >= 0, rk, jnp.int32(2**30))
+                idx = jnp.searchsorted(keys, rk_safe).astype(jnp.int32)
+                idx = jnp.clip(idx, 0, cfg.max_grid_blocks - 1)
+                hit = (keys[idx] == rk_safe) & (rk >= 0)
+                dest = jnp.where(hit, idx, cfg.max_grid_blocks)
+                return node_rows.at[dest].add(rr_ * hit[:, None])
+
+            node = merge(node, recv_k_from_left, recv_r_from_left)
+            node = merge(node, recv_k_from_right, recv_r_from_right)
+            node = node.at[cfg.max_grid_blocks].set(0.0)
+            overflow = overflow | ovl | ovr
+        return node, overflow
+
+    # -- particle migration ----------------------------------------------------
+
+    def _migrate(self, p):
+        """Move particles whose base cell left this shard's tile to the
+        owning neighbor, one mesh-axis hop at a time (diagonal migrants take
+        two hops within the same substep; <= 1 cell of drift by CFL)."""
+        overflow = jnp.asarray(False)
+        for i, a in enumerate(self.mesh_axes):
+            p, ov = self._migrate_axis(p, i, a)
+            overflow = overflow | ov
+        return p, overflow
+
+    def _migrate_axis(self, p, i, a):
+        s_idx = jax.lax.axis_index(a)
+        key, ok = self._key_fn(self.grid, p.position, p.active)
+        target = self._axis_shard_of(key, i)
+        valid = ok & p.active
+        go_left = valid & (target < s_idx)
+        go_right = valid & (target > s_idx)
+
+        cap = self.max_migrants
+        fields = list(p.__dataclass_fields__)
+
+        def pack(mask):
+            n = mask.shape[0]
+            pos = jnp.arange(n, dtype=jnp.int32)
+            order = jnp.argsort(jnp.where(mask, pos, n + pos))
+            take = order[:cap]
+            sel = jnp.arange(cap, dtype=jnp.int32) < jnp.sum(mask.astype(jnp.int32))
+            buf = {f: getattr(p, f)[take] for f in fields}
+            buf["active"] = buf["active"] & sel
+            ovf = jnp.sum(mask.astype(jnp.int32)) > cap
+            return buf, ovf
+
+        buf_l, ov_l = pack(go_left)
+        buf_r, ov_r = pack(go_right)
+
+        right_perm, left_perm = self._neighbor_perms(i)
+        recv_from_left = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, a, right_perm), buf_r
+        )
+        recv_from_right = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, a, left_perm), buf_l
+        )
+
+        # Drop emigrants locally.
+        active = p.active & ~(go_left | go_right)
+        p = p.replace(active=active)
+
+        # Insert immigrants into free slots (sorted so inactive come first).
+        def insert(p, buf, ov):
+            free_order = jnp.argsort(p.active)  # inactive slots first
+            n_imm = jnp.sum(buf["active"].astype(jnp.int32))
+            n_free = jnp.sum((~p.active).astype(jnp.int32))
+            dest = free_order[:cap]
+            okb = buf["active"]
+            dest = jnp.where(okb, dest, p.capacity)  # dump row
+            upd = {}
+            for f in fields:
+                arr = getattr(p, f)
+                pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+                ext = jnp.concatenate([arr, pad], axis=0)
+                ext = ext.at[dest].set(buf[f])
+                upd[f] = ext[:-1]
+            return p.__class__(**upd), ov | (n_imm > n_free)
+
+        p, ov1 = insert(p, recv_from_left, ov_l | ov_r)
+        p, ov2 = insert(p, recv_from_right, jnp.asarray(False))
+        return p, ov1 | ov2
+
+    # -- load rebalancing ---------------------------------------------------------
+
+    def _on_bounds_changed(self):
+        """Invalidate compiled steps after a tile re-split (bounds are baked
+        into the compiled programs as constants)."""
+        raise NotImplementedError
+
+    def rebalance(self, particles, capacity_per_shard=None):
+        """Re-split the tile boundaries so per-shard particle counts stay
+        balanced (host-side, frame-boundary; ref: the reference has no
+        rebalancing — its testbed caps at 1 GPU — this is the TPU-native
+        scaling extension, SURVEY §2.6). Returns a re-distributed particle
+        pytree. Recompiles the step only when the boundaries changed.
+
+        Per-axis marginal equal-count splits (exact for 1D; a good heuristic
+        for 2D tiles)."""
+        import numpy as onp
+
+        key, ok = self._key_fn(self.grid, particles.position, particles.active)
+        key = onp.asarray(key)[onp.asarray(ok)]
+        changed = False
+        for i, g in enumerate(self.decomp_gaxes):
+            coord = (key // self._strides[g]) % self._bspace[g]
+            ncols = self._bspace[g]
+            size = self.mesh_shape[i]
+            hist = onp.bincount(coord, minlength=ncols).astype(onp.int64)
+            csum = onp.concatenate([[0], onp.cumsum(hist)])
+            total = csum[-1]
+            bounds = [0]
+            for sshard in range(1, size):
+                want = total * sshard / size
+                c = int(onp.searchsorted(csum, want))
+                c = max(bounds[-1] + 1, min(c, ncols - (size - sshard)))
+                bounds.append(c)
+            bounds.append(ncols)
+            nb = onp.asarray(bounds, onp.int32)
+            if not onp.array_equal(nb, self.bounds[i]):
+                self.bounds[i] = nb
+                changed = True
+        if changed:
+            self._on_bounds_changed()
+        return self.distribute(particles, capacity_per_shard)
+
+    def shard_counts(self, particles):
+        """Per-shard active-particle counts (host-side diagnostics)."""
+        import numpy as onp
+
+        shard = onp.asarray(
+            self.shard_of_positions(particles.position, particles.active)
+        )
+        return onp.asarray(
+            [(shard == sidx).sum() for sidx in range(self.n_shards)]
+        )
+
+
+class DomainSparsePipeline(_DomainMixin, SparseMpmPipeline):
+    """SparseMpmPipeline sharded over slab/tile domains on a 1D or 2D mesh.
+
+    1D (default): `Mesh(devices, ("x",))` — slabs of block columns along
+    grid axis 0. 2D: `Mesh(devices.reshape(a, b), ("x", "z"))` — tiles over
+    grid axes 0 and d-1.
+    """
+
+    def __init__(
+        self,
+        grid: GridParams,
+        models,
+        colliders=(),
+        params: SolverParameters = SolverParameters(),
+        gravity=None,
+        hooks=None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "x",
+        max_halo_blocks: int = 256,
+        max_migrants: int = 4096,
+        max_ghosts: int = 4096,
+        **kw,
+    ):
+        self._init_domain(
+            grid, mesh, axis, B._block_space(grid), B.particle_block_key
+        )
+        self.max_halo_blocks = max_halo_blocks
+        self.max_migrants = max_migrants
+        self.max_ghosts = max_ghosts
+
+        super().__init__(grid, models, colliders, params, gravity, hooks, **kw)
+        self._halo_fn = self._halo_exchange
+        self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.mesh_axes)
+        self._migrate_fn = self._migrate
+        self._pvary = lambda x: jax.lax.pcast(x, self.mesh_axes, to="varying")
+        # pallas_call outputs inside shard_map must declare their mesh-axis
+        # variance explicitly (ShapeDtypeStruct vma under check_vma).
+        self._kernel_vma = self.mesh_axes
+
+    def _on_bounds_changed(self):
+        self._jit = None
+        self._jit_frames = {}
+        self._ensure_cfg_jit_only()
 
     def _ensure_cfg(self, p):
         if self._cfg is None:
@@ -295,149 +507,16 @@ class DomainSparsePipeline(SparseMpmPipeline):
             key = (num_frames, self._cfg)
         raise RuntimeError("block table capacity still overflowing after regrows")
 
-    # -- halo exchange ---------------------------------------------------------
-
-    def _neighbor_perms(self, i):
-        """ppermute pairs along mesh axis i (non-circular)."""
-        size = self.mesh_shape[i]
-        right = [(k, k + 1) for k in range(size - 1)]
-        left = [(k + 1, k) for k in range(size - 1)]
-        return right, left
-
-    def _halo_exchange(self, node, structure):
-        """Additive merge of boundary block layers with neighbors, one mesh
-        axis at a time. The second axis sends rows that already include the
-        first axis's merged contributions, so corner blocks accumulate all
-        four quadrants' partials (additive-halo forwarding).
-
-        node: [MGB+1, F*cpb] local partial sums.
-        """
-        cfg = self._cfg
-        keys = structure.grid_keys  # [MGB]
-        valid = keys < jnp.int32(np.prod(self._bspace))
-        overflow = jnp.asarray(False)
-
-        for i, a in enumerate(self.mesh_axes):
-            g = self.decomp_gaxes[i]
-            s_idx = jax.lax.axis_index(a)
-            bounds = jnp.asarray(self.bounds[i], jnp.int32)
-            c0 = bounds[s_idx]
-            c1 = bounds[s_idx + 1]
-            coords = self._block_coord(keys, g)
-            rows = node[: cfg.max_grid_blocks]
-
-            def extract(layer):
-                flags = valid & (coords == layer)
-                r, sel, take = _compact_rows(rows, flags, self.max_halo_blocks)
-                k = keys[take]
-                k = jnp.where(sel, k, jnp.int32(-1))
-                r = r * sel[:, None]
-                ovf = jnp.sum(flags.astype(jnp.int32)) > self.max_halo_blocks
-                return k, r, ovf
-
-            # send left: my partials of my first layer; send right: my spill
-            # into the right neighbor's first layer.
-            kl, rl, ovl = extract(c0)
-            kr, rr, ovr = extract(c1)
-
-            right_perm, left_perm = self._neighbor_perms(i)
-            recv_k_from_left = jax.lax.ppermute(kr, a, right_perm)
-            recv_r_from_left = jax.lax.ppermute(rr, a, right_perm)
-            recv_k_from_right = jax.lax.ppermute(kl, a, left_perm)
-            recv_r_from_right = jax.lax.ppermute(rl, a, left_perm)
-
-            def merge(node_rows, rk, rr_):
-                rk_safe = jnp.where(rk >= 0, rk, jnp.int32(2**30))
-                idx = jnp.searchsorted(keys, rk_safe).astype(jnp.int32)
-                idx = jnp.clip(idx, 0, cfg.max_grid_blocks - 1)
-                hit = (keys[idx] == rk_safe) & (rk >= 0)
-                dest = jnp.where(hit, idx, cfg.max_grid_blocks)
-                return node_rows.at[dest].add(rr_ * hit[:, None])
-
-            node = merge(node, recv_k_from_left, recv_r_from_left)
-            node = merge(node, recv_k_from_right, recv_r_from_right)
-            node = node.at[cfg.max_grid_blocks].set(0.0)
-            overflow = overflow | ovl | ovr
-        return node, overflow
-
-    # -- particle migration ----------------------------------------------------
-
-    def _migrate(self, p):
-        """Move particles whose base cell left this shard's tile to the
-        owning neighbor, one mesh-axis hop at a time (diagonal migrants take
-        two hops within the same substep; <= 1 cell of drift by CFL)."""
-        overflow = jnp.asarray(False)
-        for i, a in enumerate(self.mesh_axes):
-            p, ov = self._migrate_axis(p, i, a)
-            overflow = overflow | ov
-        return p, overflow
-
-    def _migrate_axis(self, p, i, a):
-        s_idx = jax.lax.axis_index(a)
-        key, ok = B.particle_block_key(self.grid, p.position, p.active)
-        target = self._axis_shard_of(key, i)
-        valid = ok & p.active
-        go_left = valid & (target < s_idx)
-        go_right = valid & (target > s_idx)
-
-        cap = self.max_migrants
-        fields = list(p.__dataclass_fields__)
-
-        def pack(mask):
-            n = mask.shape[0]
-            pos = jnp.arange(n, dtype=jnp.int32)
-            order = jnp.argsort(jnp.where(mask, pos, n + pos))
-            take = order[:cap]
-            sel = jnp.arange(cap, dtype=jnp.int32) < jnp.sum(mask.astype(jnp.int32))
-            buf = {f: getattr(p, f)[take] for f in fields}
-            buf["active"] = buf["active"] & sel
-            ovf = jnp.sum(mask.astype(jnp.int32)) > cap
-            return buf, ovf
-
-        buf_l, ov_l = pack(go_left)
-        buf_r, ov_r = pack(go_right)
-
-        right_perm, left_perm = self._neighbor_perms(i)
-        recv_from_left = jax.tree_util.tree_map(
-            lambda x: jax.lax.ppermute(x, a, right_perm), buf_r
-        )
-        recv_from_right = jax.tree_util.tree_map(
-            lambda x: jax.lax.ppermute(x, a, left_perm), buf_l
-        )
-
-        # Drop emigrants locally.
-        active = p.active & ~(go_left | go_right)
-        p = p.replace(active=active)
-
-        # Insert immigrants into free slots (sorted so inactive come first).
-        def insert(p, buf, ov):
-            free_order = jnp.argsort(p.active)  # inactive slots first
-            n_imm = jnp.sum(buf["active"].astype(jnp.int32))
-            n_free = jnp.sum((~p.active).astype(jnp.int32))
-            dest = free_order[:cap]
-            okb = buf["active"]
-            dest = jnp.where(okb, dest, p.capacity)  # dump row
-            upd = {}
-            for f in fields:
-                arr = getattr(p, f)
-                pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-                ext = jnp.concatenate([arr, pad], axis=0)
-                ext = ext.at[dest].set(buf[f])
-                upd[f] = ext[:-1]
-            return p.__class__(**upd), ov | (n_imm > n_free)
-
-        p, ov1 = insert(p, recv_from_left, ov_l | ov_r)
-        p, ov2 = insert(p, recv_from_right, jnp.asarray(False))
-        return p, ov1 | ov2
-
     # -- cross-device damage -----------------------------------------------------
 
-    def _update_phase_field_p(self, p, dt):
+    def _update_phase_field_p(self, p, dt, structure=None):
         """Distributed CD-MPM: every shard scatters its particles into the
         dense CG grids, partial grids are psum-reduced (one reduction per CG
         iteration for the matrix-free A·p), and each shard then runs an
-        identical CG — exact, not an approximation. The reference never runs
-        CD-MPM beyond one GPU (SURVEY §2.6); this is the TPU extension."""
+        identical CG — exact, not an approximation (block tables have
+        shard-local row layouts, so the cross-device reduction runs on the
+        dense node space). The reference never runs CD-MPM beyond one GPU
+        (SURVEY §2.6); this is the TPU extension."""
         from sparkl_tpu.solver.phase_field import update_phase_field
 
         return update_phase_field(
@@ -525,53 +604,412 @@ class DomainSparsePipeline(SparseMpmPipeline):
         )
         return p, flags
 
-    # -- load rebalancing ---------------------------------------------------------
 
-    def rebalance(self, particles, capacity_per_shard=None):
-        """Re-split the tile boundaries so per-shard particle counts stay
-        balanced (host-side, frame-boundary; ref: the reference has no
-        rebalancing — its testbed caps at 1 GPU — this is the TPU-native
-        scaling extension, SURVEY §2.6). Returns a re-distributed particle
-        pytree. Recompiles the step only when the boundaries changed.
+class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
+    """FusedMpmPipeline (the persistent-slot flagship path) sharded over
+    slab/tile domains — the hot pipeline under multi-device execution, the
+    TPU counterpart of the reference running its one fused g2p2g under the
+    multi-GPU halo machinery (ref: `src/cuda/cuda_mpm_pipeline.rs:407-533`
+    halo g2p2g + staged D2D copies + merge_halo_blocks).
 
-        Per-axis marginal equal-count splits (exact for 1D; a good heuristic
-        for 2D tiles)."""
-        import numpy as onp
+    Decomposition happens in the OFF-BY-TWO block space (fused/structure.py)
+    so slot ownership and window geometry agree:
 
-        key, ok = B.particle_block_key(self.grid, particles.position, particles.active)
-        key = onp.asarray(key)[onp.asarray(ok)]
-        changed = False
-        for i, g in enumerate(self.decomp_gaxes):
-            coord = (key // self._strides[g]) % self._bspace[g]
-            ncols = self._bspace[g]
-            size = self.mesh_shape[i]
-            hist = onp.bincount(coord, minlength=ncols).astype(onp.int64)
-            csum = onp.concatenate([[0], onp.cumsum(hist)])
-            total = csum[-1]
-            bounds = [0]
-            for sshard in range(1, size):
-                want = total * sshard / size
-                c = int(onp.searchsorted(csum, want))
-                c = max(bounds[-1] + 1, min(c, ncols - (size - sshard)))
-                bounds.append(c)
-            bounds.append(ncols)
-            nb = onp.asarray(bounds, onp.int32)
-            if not onp.array_equal(nb, self.bounds[i]):
-                self.bounds[i] = nb
-                changed = True
-        if changed:
-            self._jit = None
-            self._jit_frames = {}
-            self._ensure_cfg_jit_only()
-        return self.distribute(particles, capacity_per_shard)
+      * the node-table halo merge reuses `_DomainMixin._halo_exchange`
+        unchanged (the fused structure keeps the same grid-key contract);
+      * the lazy resort trigger is pmax-synchronized across shards, and slot
+        MIGRATION runs inside the collective resort: emigrant slot rows
+        (all NF f32 + NI i32 rows) ppermute to the owning neighbor and land
+        in free slots before the local structure rebuild;
+      * dt is pmin-reduced; eigenerosion pools ghost boundary strips
+        exchanged per axis with corner forwarding (exact pairwise sums).
+    """
 
-    def shard_counts(self, particles):
-        """Per-shard active-particle counts (host-side diagnostics)."""
-        import numpy as onp
-
-        shard = onp.asarray(
-            self.shard_of_positions(particles.position, particles.active)
+    def __init__(
+        self,
+        grid: GridParams,
+        models,
+        colliders=(),
+        params: SolverParameters = SolverParameters(),
+        gravity=None,
+        hooks=None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "x",
+        max_halo_blocks: int = 256,
+        max_migrants: int = 4096,
+        max_ghosts: int = 4096,
+        **kw,
+    ):
+        self._init_domain(
+            grid, mesh, axis, FS.block_space_ob2(grid),
+            FS.particle_block_key_ob2,
         )
-        return onp.asarray(
-            [(shard == sidx).sum() for sidx in range(self.n_shards)]
+        self.max_halo_blocks = max_halo_blocks
+        self.max_migrants = max_migrants
+        self.max_ghosts = max_ghosts
+        kw.setdefault("donate", False)
+        super().__init__(grid, models, colliders, params, gravity, hooks, **kw)
+        self._halo_fn = self._halo_exchange
+        self._dt_reduce = lambda dt: jax.lax.pmin(dt, self.mesh_axes)
+        self._need_sync = (
+            lambda b: jax.lax.pmax(b.astype(jnp.int32), self.mesh_axes) > 0
         )
+        self._slot_migrate_fn = self._migrate_slots
+        if params.damage_model == DamageModel.EIGENEROSION:
+            self._eigen_ghost_fn = self._eigen_ghosts
+
+    def _update_phase_field_slots(self, state, dt):
+        """Distributed CD-MPM on slot rows: dense node space + psum (block
+        tables have shard-local row layouts; see the sparse domain variant)."""
+        from sparkl_tpu.math import cmat
+        from sparkl_tpu.solver import phase_field as PF
+
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        slots = state.slots
+        row = lambda k: slots[:, k, :].reshape(-1)
+        pos = jnp.stack([row(r.pos + ax) for ax in range(d)], axis=-1)
+        active = self._active(state).reshape(-1)
+        f = [[row(r.defgrad + i * d + j) for j in range(d)] for i in range(d)]
+        volume = jnp.where(active, row(r.vol0) * cmat.det_c(f), 0.0)
+        phase = PF.update_phase_field_arrays(
+            grid, pos, active, row(r.phase), row(r.psi_pos), row(r.m_c),
+            row(r.g), volume, dt,
+            reduce_fn=lambda g: jax.lax.psum(g, self.mesh_axes),
+        )
+        return state.replace(
+            slots=slots.at[:, r.phase, :].set(
+                phase.reshape(cfg.max_chunks, cfg.chunk_size)
+            )
+        )
+
+    # -- capacity management --------------------------------------------------
+
+    def _ensure_cfg(self, p):
+        if self._cfg is None:
+            # Per-shard calibration in ob2 space; capacities are the max over
+            # shards (all shards share one compiled program shape).
+            import numpy as onp
+
+            pos = onp.asarray(p.position)
+            act = onp.asarray(p.active)
+            per = pos.shape[0] // self.n_shards
+            cfgs = []
+            for s in range(self.n_shards):
+                sl = slice(s * per, (s + 1) * per)
+                if act[sl].any():
+                    cfgs.append(
+                        FS.calibrate_ob2(
+                            self.grid, pos[sl], act[sl],
+                            slack=self._calibration_slack,
+                        )
+                    )
+            if not cfgs:
+                cfgs = [FS.calibrate_ob2(self.grid, pos[:per], act[:per])]
+            self._cfg = B.BlockConfig(
+                max_blocks=max(c.max_blocks for c in cfgs),
+                max_chunks=max(c.max_chunks for c in cfgs),
+                chunk_size=cfgs[0].chunk_size,
+                max_grid_blocks=max(c.max_grid_blocks for c in cfgs),
+            )
+
+    def _grow(self, factor=1.6):
+        c = self._cfg
+        self._cfg = B.BlockConfig(
+            max_blocks=int(c.max_blocks * factor) + 64,
+            max_chunks=-(-(int(c.max_chunks * factor) + 64) // 8) * 8,
+            chunk_size=c.chunk_size,
+            max_grid_blocks=int(c.max_grid_blocks * factor) + 64,
+        )
+        self.max_halo_blocks = int(self.max_halo_blocks * factor) + 64
+        self.max_migrants = int(self.max_migrants * factor) + 64
+        self.max_ghosts = int(self.max_ghosts * factor) + 64
+        self._jit = None
+        self._jit_frames = {}
+
+    def _on_bounds_changed(self):
+        self._jit = None
+        self._jit_frames = {}
+
+    # -- sharded span ---------------------------------------------------------
+
+    def _build_frames_jit(self, num_frames, cap_shard):
+        from jax.sharding import PartitionSpec as P2
+
+        spec = P2(self.mesh_axes)
+        cfg = self._cfg
+
+        def body(p):
+            # Span-boundary migration in pytree space: particles that left
+            # this tile in a previous span (fresh packs reset drift, so the
+            # in-span resort migration never saw them) hop to their owner
+            # before the local structure build.
+            p, mig_ov = self._migrate(p)
+            state = self._pack(p)
+            s = state.structure
+            pack_ov = (
+                (s.num_blocks > cfg.max_blocks)
+                | (s.num_grid_blocks > cfg.max_grid_blocks)
+                | (s.num_chunks > cfg.max_chunks)
+            ).astype(jnp.int32) * OVERFLOW_TABLES
+            state, total, ov, peak, nres = self._frames_impl(state, num_frames)
+            # Per-shard population must still fit the per-shard pytree rows
+            # (migration can concentrate particles; rebalance() re-splits).
+            n_occ = jnp.sum(
+                ((state.ints[:, FL.I_FLAGS, :] & FL.OCCUPIED) != 0).astype(
+                    jnp.int32
+                )
+            )
+            unpack_ov = (n_occ > cap_shard).astype(jnp.int32) * OVERFLOW_TABLES
+            ov = ov | pack_ov | unpack_ov \
+                | mig_ov.astype(jnp.int32) * OVERFLOW_TABLES
+            p2 = FL.unpack(self.grid, cfg, state, cap_shard, self.grid.dim,
+                           compact_ids=True)
+            ov = jax.lax.pmax(ov, self.mesh_axes)
+            peak = jax.lax.pmax(peak, self.mesh_axes)
+            nres = jax.lax.pmax(nres, self.mesh_axes)
+            total = jax.lax.pmax(total, self.mesh_axes)
+            return p2, total, ov, peak, nres
+
+        sm = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(spec,),
+            out_specs=(spec, P2(), P2(), P2(), P2()),
+            check_vma=False,
+        )
+        return jax.jit(sm)
+
+    def run_frames(self, particles, num_frames: int,
+                   frames_per_launch: int | None = None):
+        if frames_per_launch is not None and frames_per_launch < num_frames:
+            total = 0
+            done = 0
+            while done < num_frames:
+                k = min(frames_per_launch, num_frames - done)
+                particles, t = self.run_frames(particles, k)
+                total += int(t)
+                done += k
+            return particles, total
+        self._ensure_cfg(particles)
+        cap_shard = particles.capacity // self.n_shards
+        key = (num_frames, self._cfg)
+        if key not in self._jit_frames:
+            self._jit_frames[key] = self._build_frames_jit(num_frames, cap_shard)
+        for _attempt in range(8):
+            p, total, overflow, peak, nres = self._jit_frames[key](particles)
+            flags = int(overflow)
+            if flags == 0:
+                self._adapt_capacity(int(peak))
+                self.last_resorts = int(nres)
+                return p, int(total)
+            if flags & OVERFLOW_EIGEN:
+                self._eigen_mcb *= 2
+                self._jit_frames = {}
+            if flags & OVERFLOW_TABLES:
+                self._grow()
+            key = (num_frames, self._cfg)
+            if key not in self._jit_frames:
+                self._jit_frames[key] = self._build_frames_jit(
+                    num_frames, cap_shard
+                )
+        raise RuntimeError(
+            "capacity still overflowing after regrows (per-shard pytree rows "
+            "cannot regrow in place — call rebalance() if migration has "
+            "concentrated particles on one shard)"
+        )
+
+    # -- slot migration (inside the collective resort) ------------------------
+
+    def _migrate_slots(self, state):
+        """Move slot rows whose ob2 block left this tile to the owning
+        neighbor, one mesh-axis hop at a time (diagonal migrants take two
+        hops). Runs inside the pmax-synchronized resort so every shard
+        executes the ppermutes together."""
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        d_, c = cfg.max_chunks, cfg.chunk_size
+        s_total = d_ * c
+        cap = self.max_migrants
+        slots_t, ints_t = state.slots, state.ints
+        overflow = jnp.asarray(False)
+
+        for i, a in enumerate(self.mesh_axes):
+            s_idx = jax.lax.axis_index(a)
+            pos = jnp.stack(
+                [slots_t[:, r.pos + ax, :].reshape(-1) for ax in range(d)],
+                axis=-1,
+            )
+            flags = ints_t[:, FL.I_FLAGS, :].reshape(-1)
+            occupied = (flags & FL.OCCUPIED) != 0
+            active = occupied & ((flags & FL.ACTIVE) != 0)
+
+            key, ok = self._key_fn(grid, pos, active)
+            target = self._axis_shard_of(key, i)
+            valid = ok & active
+            go_left = valid & (target < s_idx)
+            go_right = valid & (target > s_idx)
+
+            def pack_dir(mask):
+                pidx = jnp.arange(s_total, dtype=jnp.int32)
+                order = jnp.argsort(jnp.where(mask, pidx, s_total + pidx))
+                take = order[:cap]
+                k = jnp.sum(mask.astype(jnp.int32))
+                sel = jnp.arange(cap, dtype=jnp.int32) < k
+                ci = take // c
+                li = take % c
+                rows_f = slots_t[ci, :, li] * sel[:, None]  # [cap, NF]
+                rows_i = jnp.where(sel[:, None], ints_t[ci, :, li], 0)
+                return rows_f, rows_i, k > cap
+
+            fl_, il_, ov_l = pack_dir(go_left)
+            fr_, ir_, ov_r = pack_dir(go_right)
+            overflow = overflow | ov_l | ov_r
+
+            # Drop emigrants locally (clear all flags).
+            em = go_left | go_right
+            flags = jnp.where(em, 0, flags)
+            ints_t = ints_t.at[:, FL.I_FLAGS, :].set(flags.reshape(d_, c))
+            occupied = (flags & FL.OCCUPIED) != 0
+
+            right_perm, left_perm = self._neighbor_perms(i)
+            recv_f_l = jax.lax.ppermute(fr_, a, right_perm)  # from left
+            recv_i_l = jax.lax.ppermute(ir_, a, right_perm)
+            recv_f_r = jax.lax.ppermute(fl_, a, left_perm)  # from right
+            recv_i_r = jax.lax.ppermute(il_, a, left_perm)
+
+            def insert(slots_t, ints_t, occupied, rows_f, rows_i):
+                imm = (rows_i[:, FL.I_FLAGS] & FL.OCCUPIED) != 0
+                n_imm = jnp.sum(imm.astype(jnp.int32))
+                n_free = jnp.sum((~occupied).astype(jnp.int32))
+                free_order = jnp.argsort(occupied)  # free slots first
+                dest = free_order[:cap]
+                ok_slot = imm & (jnp.arange(cap, dtype=jnp.int32) < n_free)
+                dest = jnp.where(ok_slot, dest, s_total)
+                ci = dest // c  # s_total // c == d_ -> dropped
+                li = dest % c
+                slots_t = slots_t.at[ci, :, li].set(rows_f, mode="drop")
+                ints_t = ints_t.at[ci, :, li].set(rows_i, mode="drop")
+                occupied = occupied.at[dest].set(True, mode="drop")
+                return slots_t, ints_t, occupied, n_imm > n_free
+
+            slots_t, ints_t, occupied, ov1 = insert(
+                slots_t, ints_t, occupied, recv_f_l, recv_i_l
+            )
+            slots_t, ints_t, occupied, ov2 = insert(
+                slots_t, ints_t, occupied, recv_f_r, recv_i_r
+            )
+            overflow = overflow | ov1 | ov2
+
+        return state.replace(slots=slots_t, ints=ints_t), overflow
+
+    # -- eigenerosion ghost strips --------------------------------------------
+
+    def _eigen_ghosts(self, state, eligible):
+        """Cross-shard eigenerosion: exchange boundary-strip ghost rows
+        (position, m*psi, m, eligible) with neighbors — per mesh axis, the
+        second axis forwarding first-axis ghosts so diagonal neighborhoods
+        pool exactly — then add exact pairwise (local-strip x ghost) sums to
+        the in-structure pooling (ref: eigenerosion.rs pools exact 3^d
+        neighborhoods; the reference never runs damage multi-device).
+
+        Returns (g0 [D, C], g1 [D, C], overflow_flags int32)."""
+        grid, cfg, r = self.grid, self._cfg, self._rows
+        d = grid.dim
+        h = grid.cell_width
+        d_, c = cfg.max_chunks, cfg.chunk_size
+        s_total = d_ * c
+        cap = self.max_ghosts
+
+        mass = state.slots[:, r.mass, :].reshape(-1)
+        psi = state.slots[:, r.psi_pos, :].reshape(-1)
+        cols = [state.slots[:, r.pos + ax, :].reshape(-1) for ax in range(d)]
+        cols += [mass * psi, mass, eligible.reshape(-1).astype(jnp.float32)]
+        payload = jnp.stack(cols, axis=-1)  # [S, d + 3]
+
+        ext = payload
+        strip_ov = jnp.asarray(False)
+        near = jnp.zeros((s_total,), bool)
+
+        for i, a in enumerate(self.mesh_axes):
+            g = self.decomp_gaxes[i]
+            s_idx = jax.lax.axis_index(a)
+            bounds = jnp.asarray(self.bounds[i], jnp.int32)
+            # Ob2 tile boundary in world coords: smallest owned base cell is
+            # 4*b - 2, whose rounding boundary sits at x = origin + (4b-2.5)h.
+            x_lo = grid.origin[g] + (
+                bounds[s_idx].astype(jnp.float32) * B.BLOCK_SIDE - 2.5
+            ) * h
+            x_hi = grid.origin[g] + (
+                bounds[s_idx + 1].astype(jnp.float32) * B.BLOCK_SIDE - 2.5
+            ) * h
+
+            x = ext[:, g]
+            inc = ext[:, d + 2] != 0.0
+            # Send strips 2h wide (sort-drift < 1 cell each side + radius h).
+            strip_l = inc & (x < x_lo + 2.0 * h)
+            strip_r = inc & (x >= x_hi - 2.0 * h)
+            # Local rows that could pair with any received ghost (3h margin).
+            xl = payload[:, g]
+            near = near | (xl < x_lo + 3.0 * h) | (xl >= x_hi - 3.0 * h)
+
+            def pack(mask):
+                rows, sel, _ = _compact_rows(ext, mask, cap)
+                rows = rows * sel[:, None]
+                return rows, jnp.sum(mask.astype(jnp.int32)) > cap
+
+            send_l, ov_l = pack(strip_l)
+            send_r, ov_r = pack(strip_r)
+            strip_ov = strip_ov | ov_l | ov_r
+
+            right_perm, left_perm = self._neighbor_perms(i)
+            ghosts_from_left = jax.lax.ppermute(send_r, a, right_perm)
+            ghosts_from_right = jax.lax.ppermute(send_l, a, left_perm)
+            ext = jnp.concatenate(
+                [ext, ghosts_from_left, ghosts_from_right], axis=0
+            )
+
+        ghosts = ext[s_total:]  # [G, d + 3]
+        loc_mask = near & (payload[:, d + 2] != 0.0)
+        cap_l = 2 * len(self.mesh_axes) * cap
+        loc_rows, loc_sel, loc_take = _compact_rows(payload, loc_mask, cap_l)
+        strip_ov = strip_ov | (
+            jnp.sum(loc_mask.astype(jnp.int32)) > cap_l
+        )
+        loc_pos = loc_rows[:, :d]
+        loc_inc = (loc_rows[:, d + 2] != 0.0) & loc_sel
+
+        # Exact pairwise sums local-strip x ghosts, tiled over ghost chunks.
+        gch = 1024
+        n_t = -(-ghosts.shape[0] // gch)
+        pad = n_t * gch - ghosts.shape[0]
+        gpad = jnp.pad(ghosts, ((0, pad), (0, 0)))
+
+        def tile(carry, gk):
+            acc0, acc1 = carry
+            d2 = None
+            for ax in range(d):
+                diff = loc_pos[:, ax : ax + 1] - gk[None, :, ax]
+                d2 = diff * diff if d2 is None else d2 + diff * diff
+            pf = (
+                (d2 <= h * h).astype(jnp.float32)
+                * loc_inc[:, None]
+                * (gk[None, :, d + 2] != 0.0)
+            )
+            acc0 = acc0 + jnp.sum(pf * gk[None, :, d], axis=1)
+            acc1 = acc1 + jnp.sum(pf * gk[None, :, d + 1], axis=1)
+            return (acc0, acc1), None
+
+        z = jnp.zeros((cap_l,), jnp.float32)
+        (acc0, acc1), _ = jax.lax.scan(
+            tile, (z, z), gpad.reshape(n_t, gch, d + 3)
+        )
+
+        g0 = jnp.zeros((s_total,), jnp.float32).at[loc_take].add(
+            acc0 * loc_sel
+        )
+        g1 = jnp.zeros((s_total,), jnp.float32).at[loc_take].add(
+            acc1 * loc_sel
+        )
+        flags = strip_ov.astype(jnp.int32) * OVERFLOW_TABLES
+        return g0.reshape(d_, c), g1.reshape(d_, c), flags

@@ -1,0 +1,245 @@
+"""DomainFusedPipeline (flagship fused path under shard_map) equivalence.
+
+The round-3 capability the reference covers with its multi-GPU halo path
+around the one hot g2p2g kernel (ref: `src/cuda/cuda_mpm_pipeline.rs:407-533`
+halo g2p2g + staged D2D copies + merge_halo_blocks): here the fused
+persistent-slot pipeline runs under shard_map with ob2-space tile
+decomposition, additive halo merge, pmin dt, pmax-synchronized lazy resorts,
+slot-row migration inside the collective resort, and ghost-strip
+eigenerosion. Runs on the virtual 8-device CPU mesh (conftest).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sparkl_tpu as sk
+from sparkl_tpu.core.grid import GridParams
+from sparkl_tpu.models import registry
+from sparkl_tpu.parallel.domain import DomainFusedPipeline
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+
+
+def _sorted_state(q):
+    act = np.asarray(q.active)
+    pos = np.asarray(q.position)[act]
+    vel = np.asarray(q.velocity)[act]
+    f = np.asarray(q.deformation_gradient)[act]
+    o = np.lexsort(pos.T)
+    return pos[o], vel[o], f[o]
+
+
+def _scene(vx=1.0, seed=0):
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(128, 32, 32))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.5, 1.2), counts=(60, 6, 6), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    rng = np.random.default_rng(seed)
+    vel = rng.normal(scale=0.4, size=(p.capacity, 3)).astype(np.float32)
+    vel[:, 0] += vx
+    p = p.replace(velocity=jnp.asarray(vel))
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    return grid, models, colliders, [0.0, -9.81, 0.0], p
+
+
+def test_domain_fused_one_substep_matches_single():
+    """One substep matches the single-chip fused pipeline to fp roundoff:
+    pins the ob2 halo merge, pmin dt, and the boundary-replication contract."""
+    grid, models, colliders, gravity, p = _scene()
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    single = FusedMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    assert dom.n_shards == 8
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, f_s = _sorted_state(ps)
+    pos_d, vel_d, f_d = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-6)
+
+
+def test_domain_fused_migration_and_resort():
+    """Fast drift forces pmax-synchronized resorts WITH slot migration;
+    counts stay exact, shard occupancy shifts, trajectory stays tied."""
+    grid, models, colliders, gravity, p = _scene(vx=3.0)
+    vel = np.zeros((p.capacity, 3), np.float32)
+    vel[:, 0] = 3.0
+    p = p.replace(velocity=jnp.asarray(vel))
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    single = FusedMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=2048,
+    )
+    ps = jax.tree_util.tree_map(jnp.array, p)
+    pd = dom.distribute(p)
+    cap = pd.capacity // dom.n_shards
+
+    def shard_counts(q):
+        return np.asarray(q.active).reshape(dom.n_shards, cap).sum(axis=1)
+
+    before = shard_counts(pd)
+    # ONE multi-frame span: drift accumulates in-span, so the synchronized
+    # lazy resort (and the slot migration inside it) actually fires.
+    ps, _ = single.run_frames(ps, 6)
+    pd, _ = dom.run_frames(pd, 6)
+    after = shard_counts(pd)
+    assert dom.last_resorts > 0  # resorts (and thus migration) actually ran
+    assert before.sum() == after.sum()  # no particles lost or duplicated
+    assert not np.array_equal(before, after)  # ownership actually moved
+    pos_s, _, _ = _sorted_state(ps)
+    pos_d, _, _ = _sorted_state(pd)
+    err = np.linalg.norm(pos_s - pos_d, axis=1)
+    assert np.quantile(err, 0.995) < 1e-3
+    assert np.median(err) < 1e-4
+
+
+def test_domain_fused_eigenerosion_ghosts():
+    """Ghost-strip exchange makes the pairwise pooling exact across tile
+    boundaries: phases match single-chip and cracks actually trip."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(128, 32, 32))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(1.0e5, 0.2))]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.5, 1.2), counts=(60, 5, 5), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+        crack_propagation_factor=2.0, crack_threshold=1.0e-6, psi_pos=5.0,
+    )
+    params = sk.SolverParameters(
+        dt=1.0 / 120.0, damage_model=sk.DamageModel.EIGENEROSION,
+        stop_after_one_substep=True,
+    )
+    gravity = [0.0, -9.81, 0.0]
+    single = FusedMpmPipeline(grid, models, [], params, gravity)
+    dom = DomainFusedPipeline(
+        grid, models, [], params, gravity,
+        max_halo_blocks=128, max_migrants=512, max_ghosts=512,
+    )
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+    act_s = np.asarray(ps.active)
+    act_d = np.asarray(pd.active)
+    pos_s = np.asarray(ps.position)[act_s]
+    pos_d = np.asarray(pd.position)[act_d]
+    ph_s = np.asarray(ps.phase)[act_s][np.lexsort(pos_s.T)]
+    ph_d = np.asarray(pd.phase)[act_d][np.lexsort(pos_d.T)]
+    np.testing.assert_allclose(ph_s, ph_d, atol=1e-6)
+    assert (ph_s == 0.0).sum() > 0
+
+
+def test_domain_fused_fluids_volume():
+    """Mass halo before the density gather: F00 matches single-chip."""
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(128, 32, 32))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.monaghan_sph_eos(1.0e4, 7, 1.01e-3))]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.0, 1.2), counts=(60, 5, 5), model_id=0,
+        particle_radius=0.025, density0=1000.0,
+    )
+    colliders = [sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0))]
+    params = sk.SolverParameters(
+        dt=1.0 / 60.0, force_fluids_volume_recomputation=True,
+        stop_after_one_substep=True,
+    )
+    gravity = [0.0, -9.81, 0.0]
+    single = FusedMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+    pos_s, _, f_s = _sorted_state(ps)
+    pos_d, _, f_d = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(f_s[:, 0, 0], f_d[:, 0, 0], atol=1e-5)
+
+
+def test_domain_fused_2d_tile_mesh():
+    """4x2 tile mesh (grid axes 0 and 2): corner forwarding in ob2 space."""
+    from jax.sharding import Mesh
+
+    grid = GridParams(origin=(0.0, 0.0, 0.0), cell_width=0.1, res=(96, 24, 64))
+    models = registry.ModelSet.pack(
+        [
+            registry.ParticleModel(
+                registry.corotated_linear_elasticity(1.0e5, 0.2),
+                registry.drucker_prager_plasticity(1.0e5, 0.2),
+            )
+        ]
+    )
+    p = sk.cube_particles(
+        origin=(1.0, 1.2, 1.0), counts=(40, 5, 30), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    rng = np.random.default_rng(2)
+    p = p.replace(velocity=jnp.asarray(
+        rng.normal(scale=0.4, size=(p.capacity, 3)).astype(np.float32)))
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    gravity = [0.0, -9.81, 0.0]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("x", "z"))
+    single = FusedMpmPipeline(grid, models, colliders, params, gravity)
+    dom = DomainFusedPipeline(
+        grid, models, colliders, params, gravity, mesh=mesh,
+        max_halo_blocks=256, max_migrants=512,
+    )
+    assert dom.mesh_shape == (4, 2)
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(dom.distribute(p))
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, f_s = _sorted_state(ps)
+    pos_d, vel_d, f_d = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-6)
+
+
+def test_domain_fused_rebalance():
+    """rebalance() re-splits ob2 tile bounds and the rebalanced run still
+    matches single-chip."""
+    grid, models, colliders, gravity, _ = _scene()
+    p = sk.cube_particles(
+        origin=(0.8, 1.5, 1.2), counts=(72, 8, 8), model_id=0,
+        particle_radius=0.025, density0=2700.0,
+    )
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    dom = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    counts_uniform = dom.shard_counts(p)
+    pd = dom.rebalance(p)
+    counts_bal = dom.shard_counts(p)
+    n_active = int(np.asarray(p.active).sum())
+    assert counts_bal.max() <= 2.0 * n_active / dom.n_shards
+    assert counts_bal.max() < counts_uniform.max()
+    single = FusedMpmPipeline(grid, models, colliders, params, gravity)
+    ps, _ = single.step_with_stats(jax.tree_util.tree_map(jnp.array, p))
+    pd, _ = dom.step_with_stats(pd)
+    assert int(np.asarray(ps.active).sum()) == int(np.asarray(pd.active).sum())
+    pos_s, vel_s, _ = _sorted_state(ps)
+    pos_d, vel_d, _ = _sorted_state(pd)
+    np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
+    np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
