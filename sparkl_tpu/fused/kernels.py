@@ -115,21 +115,23 @@ def _transfer_masks(grid: GridParams, data, iref, dim, rows: "L.Rows"):
     return in_window, in_bounds
 
 
-def _weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
-    """Window weight tensors for chunk i of the program's R chunks.
+def _axis_weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
+    """Per-axis window weight rows for chunk i of the program's R chunks.
 
     Weight placement is the particle's base cell RELATIVE TO THE CHUNK'S
     window origin (int rows written at sort time) — valid for +-1 cell of
     drift past the sort, the slack the reference's g2p2g exploits for
     particles that moved cells (`g2p2g.rs:297-309`). Out-of-window lanes
-    produce zero weights. Returns (w_full [8^d, C], wd per-axis list).
+    produce zero weights. Returns (w_axes, wd_axes): per-axis lists of
+    [8, C] tensors, wd_axes[ax] = w_axes[ax] * dpt_axes[ax] (the dpt-weighted
+    taps the APIC gradient transfers use).
     """
     h = grid.cell_width
     rs = region_side()
     c = data.shape[2]
     r2 = jax.lax.broadcasted_iota(jnp.int32, (rs, c), 0)
 
-    w_axes, dpt_axes = [], []
+    w_axes, wd_axes = [], []
     for ax in range(dim):
         xg = (data[i, rows.pos + ax, :] - grid.origin[ax]) / h  # [C]
         base = jnp.round(xg).astype(jnp.int32) - 1
@@ -148,15 +150,19 @@ def _weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
         px = rel.astype(jnp.float32) + fx
         dpt = (r2.astype(jnp.float32) - px[None, :]) * h
         w_axes.append(w)
-        dpt_axes.append(dpt)
+        wd_axes.append(w * dpt)
+    return w_axes, wd_axes
 
+
+def _weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
+    """Full tensor-product window weights (mass-transfer kernels only; the
+    main kernels use the factorized per-axis form). Returns
+    (w_full [8^d, C], wd per-axis list)."""
+    w_axes, wd_axes = _axis_weights_chunk(grid, data, iref, dim, rows, i)
     w_full = _outer_full(w_axes)
     wd = []
     for j in range(dim):
-        parts = [
-            w_axes[ax] * dpt_axes[ax] if ax == j else w_axes[ax]
-            for ax in range(dim)
-        ]
+        parts = [wd_axes[ax] if ax == j else w_axes[ax] for ax in range(dim)]
         wd.append(_outer_full(parts))
     return w_full, wd
 
@@ -187,6 +193,10 @@ def _dot_nt(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+def _acc(acc, v):
+    return v if acc is None else acc + v
 
 
 def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
@@ -309,32 +319,81 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
         for j in range(dim)
     ]  # per j: [R, d, C]
 
+    rs = region_side()
+    c = data.shape[2]
+    nf0 = 1 + dim + (2 if with_psi else 0)
     for i in range(nr):
-        w_full, wd = _weights_chunk(grid, data, iref, dim, r, i)
-        img = _dot_nt(p0[i], w_full)  # [1+d(+2), RC]
-        mom = img[1 : 1 + dim, :]
-        for j in range(dim):
-            mom = mom + _dot_nt(a_cols[j][i], wd[j])
-        out_parts = [img[:1, :], mom]
-        if with_psi:
-            out_parts.append(img[1 + dim :, :])
-        out_ref[i] = jnp.concatenate(out_parts, axis=0)
+        # Factorized tensor-product scatter: expand per-axis weights on the
+        # VPU, contract the LAST axis on the MXU as ONE tall-skinny dot
+        # [F*8^(d-1), C] @ [C, 8] (plus one for the dpt-weighted last-axis
+        # affine column) — ~5x fewer MXU passes than the per-axis full-window
+        # dots ([6..15, C] @ [C, 8^d] ran the MXU at ~5% M-occupancy).
+        w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
+        p0_i = p0[i]  # [F0, C]
+        acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
+
+        # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
+        b1 = jnp.concatenate(
+            [
+                p0_i[0:1, None, :] * w_ax[0][None],
+                p0_i[1 : 1 + dim, None, :] * w_ax[0][None]
+                + acol[0][:, None, :] * wd_ax[0][None],
+            ]
+            + (
+                [p0_i[1 + dim :, None, :] * w_ax[0][None]] if with_psi else []
+            ),
+            axis=0,
+        )
+        if dim == 2:
+            out1 = _dot_nt(b1.reshape(nf0 * rs, c), w_ax[1])  # [F0*8, 8]
+            b1_ay = acol[1][:, None, :] * w_ax[0][None]
+            out2 = _dot_nt(b1_ay.reshape(dim * rs, c), wd_ax[1])  # [d*8, 8]
+            rpf = rs
+        else:
+            b2 = b1[:, :, None, :] * w_ax[1][None, None]  # [F0, 8, 8, C]
+            b1_ay = acol[1][:, None, :] * w_ax[0][None]
+            b2_ay = b1_ay[:, :, None, :] * wd_ax[1][None, None]
+            b2 = jnp.concatenate(
+                [b2[0:1], b2[1 : 1 + dim] + b2_ay, b2[1 + dim :]], axis=0
+            )
+            b2_az = (
+                acol[2][:, None, None, :]
+                * w_ax[0][None, :, None, :]
+                * w_ax[1][None, None, :, :]
+            )
+            out1 = _dot_nt(b2.reshape(nf0 * rs * rs, c), w_ax[2])  # [F0*64, 8]
+            out2 = _dot_nt(b2_az.reshape(dim * rs * rs, c), wd_ax[2])
+            rpf = rs * rs
+        out_ref[i] = jnp.concatenate(
+            [
+                out1[:rpf],
+                out1[rpf : rpf * (1 + dim)] + out2,
+                out1[rpf * (1 + dim) :],
+            ],
+            axis=0,
+        )
 
 
 def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
               interpret=False, vma=None):
-    """Slot state -> window images [D, 1+d(+2), 8^d]."""
+    """Slot state -> window images [D, 1+d(+2), 8^d].
+
+    The kernel emits [D, F*8^(d-1), 8] (last window axis on lanes — the
+    natural layout of the factorized final dot); the trailing reshape is a
+    free linear-order reinterpretation."""
     dim = grid.dim
     r = L.Rows(dim)
     rc = region_cells(dim)
+    rs = region_side()
     nf_out = 1 + dim + (2 if meta["with_psi"] else 0)
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     m = tab_f.shape[0]
     nr = _r_of(cfg)
+    rows_out = nf_out * (rc // rs)
 
     kernel = functools.partial(_p2g_kernel, grid, meta, nr)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(d_ // nr,),
         in_specs=[
@@ -345,11 +404,12 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nr, nf_out, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (nr, rows_out, rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=_out_shape((d_, nf_out, rc), jnp.float32, vma),
+        out_shape=_out_shape((d_, rows_out, rs), jnp.float32, vma),
         interpret=interpret,
     )(slots, ints, dt.reshape(1, 1), tab_f, tab_i)
+    return out.reshape(d_, nf_out, rc)
 
 
 # ---------------------------------------------------------------------------
@@ -650,21 +710,63 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     is_static = (flags & L.STATIC) != 0
     kinematic = (flags & L.KINEMATIC) != 0
 
-    # --- gather (per-chunk MXU dots, batched into [R, C] rows) --------------
+    # --- gather (factorized: last-axis contraction as [M, 8] @ [8, C] MXU
+    # dots — the per-particle weight matrix IS the right operand — then
+    # per-axis VPU reductions; ~5x fewer MXU passes than full-window dots) --
     in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
     contrib = active & in_window & in_bounds
     contrib_f = contrib.astype(jnp.float32)
+    rs = region_side()
+    n_win = dim + (1 if with_psi else 0)
+    rpf = rs ** (dim - 1)
 
     gathered = []  # per chunk: [d + d*d (+1), C]
     for i in range(nr):
-        w_full, wd = _weights_chunk(grid, data, iref, dim, r, i)
-        win = win_ref[i]  # [d(+1), RC]
-        win_v = win[:dim, :]
-        parts = [_dot(win_v, w_full)]  # [d, C]
-        for j in range(dim):
-            parts.append(invd * _dot(win_v, wd[j]))  # [d, C] (column j)
+        w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
+        win = win_ref[i]  # [n_win*rpf, 8] (window's last axis on lanes)
+        c_ = win.shape[-1]
+        t1 = _dot(win, w_ax[-1])  # [n_win*rpf, C]
+        t1l = _dot(win[: dim * rpf], wd_ax[-1])  # [d*rpf, C] last grad col
+        if dim == 2:
+            t1r = t1.reshape(n_win, rs, t1.shape[-1])
+            t1lr = t1l.reshape(dim, rs, t1.shape[-1])
+            velpsi = None
+            g0 = None
+            g1 = None
+            for u in range(rs):
+                wx = w_ax[0][u][None, :]
+                wdx = wd_ax[0][u][None, :]
+                velpsi = _acc(velpsi, t1r[:, u, :] * wx)
+                g0 = _acc(g0, t1r[:dim, u, :] * wdx)
+                g1 = _acc(g1, t1lr[:, u, :] * wx)
+            cols = [invd * g0, invd * g1]
+        else:
+            t1r = t1.reshape(n_win, rs, rs, t1.shape[-1])
+            t1lr = t1l.reshape(dim, rs, rs, t1.shape[-1])
+            t2 = None
+            t2y = None
+            t2z = None
+            for u in range(rs):
+                wy = w_ax[1][u][None, None, :]
+                wdy = wd_ax[1][u][None, None, :]
+                t2 = _acc(t2, t1r[:, :, u, :] * wy)
+                t2y = _acc(t2y, t1r[:dim, :, u, :] * wdy)
+                t2z = _acc(t2z, t1lr[:, :, u, :] * wy)
+            velpsi = None
+            g0 = None
+            g1 = None
+            g2 = None
+            for u in range(rs):
+                wx = w_ax[0][u][None, :]
+                wdx = wd_ax[0][u][None, :]
+                velpsi = _acc(velpsi, t2[:, u, :] * wx)
+                g0 = _acc(g0, t2[:dim, u, :] * wdx)
+                g1 = _acc(g1, t2y[:, u, :] * wx)
+                g2 = _acc(g2, t2z[:, u, :] * wx)
+            cols = [invd * g0, invd * g1, invd * g2]
+        parts = [velpsi[:dim]] + cols
         if with_psi:
-            parts.append(_dot(win[dim : dim + 1, :], w_full))
+            parts.append(velpsi[dim:])
         gathered.append(jnp.concatenate(parts, axis=0))
     gath = jnp.stack(gathered, axis=0)  # [R, d + d*d (+1), C]
 
@@ -834,15 +936,22 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
 
 def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
               tab_f, tab_i, interpret=False, vma=None):
-    """Slot state + grid windows [D, d(+1), 8^d] -> new slot state."""
+    """Slot state + grid windows [D, d(+1), 8^d] -> new slot state.
+
+    Windows are re-viewed as [D, F*8^(d-1), 8] (free linear-order
+    reinterpretation) so the kernel's factorized gather contracts the last
+    window axis with the per-particle weight matrix on the MXU."""
     dim = grid.dim
     r = L.Rows(dim)
     rc = region_cells(dim)
+    rs = region_side()
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     n_win = dim + (1 if meta["with_psi"] else 0)
     m = tab_f.shape[0]
     nr = _r_of(cfg)
+    rows_win = n_win * (rc // rs)
+    windows = windows.reshape(d_, rows_win, rs)
 
     kernel = functools.partial(_g2p_kernel, grid, meta, params, nr)
     return pl.pallas_call(
@@ -851,7 +960,7 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, n_win, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr, rows_win, rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -257,10 +257,16 @@ def test_fused_capacity_regrow():
 
 
 def test_fused_rejects_unsupported():
+    # CD-MPM became supported in round 3 (ob2 block-table phase field);
+    # boundary particle projection remains the sparse-pipeline fallback.
     grid, models, p = _scene2d(8)
-    params = sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM)
+    params = sk.SolverParameters(enable_boundary_particle_projection=True)
     with pytest.raises(ValueError):
         FusedMpmPipeline(grid, models, [], params, use_pallas="interpret")
+    ok, _ = FusedMpmPipeline.supports(
+        models, sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM)
+    )
+    assert ok
 
 
 def test_resort_fallback_matches_fast_path(monkeypatch):
