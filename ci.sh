@@ -6,9 +6,14 @@ cd "$(dirname "$0")"
 
 if [[ "${1:-}" == "--fast" ]]; then
   python -m pytest tests/test_math.py tests/test_models.py \
-    tests/test_plasticity_properties.py tests/test_damage.py -q
-else
+    tests/test_plasticity_properties.py tests/test_damage.py \
+    tests/test_oracles.py tests/test_penalty_and_zup.py -q
+elif [[ "${1:-}" == "--nightly" ]]; then
   python -m pytest tests/ -q
+else
+  # Default: everything except the heaviest multi-device equivalence runs
+  # (marked nightly; ~20+ min each on the 1-core CI box).
+  python -m pytest tests/ -q -m "not nightly"
 fi
 
 # Bench smoke: tiny sand3 on whatever backend is available (CPU ok) — checks

@@ -73,7 +73,12 @@ def _out_shape(shape, dtype, vma):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _r_of(cfg):
+def _r_of(cfg, interpret=False):
+    # Interpreter mode (CPU CI): nr=1 — the kernel body is traced per chunk
+    # in a Python loop, so R=8 unrolling octuples trace/compile time for
+    # zero benefit off-hardware.
+    if interpret:
+        return 1
     r = CHUNKS_PER_PROGRAM
     return r if cfg.max_chunks % r == 0 else 1
 
@@ -389,7 +394,7 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     m = tab_f.shape[0]
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     rows_out = nf_out * (rc // rs)
 
     kernel = functools.partial(_p2g_kernel, grid, meta, nr)
@@ -451,7 +456,7 @@ def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
     rc = region_cells(grid.dim)
     d_ = cfg.max_chunks
     c = cfg.chunk_size
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     kernel = functools.partial(_mass_p2g_kernel, grid, nr)
     return pl.pallas_call(
         kernel,
@@ -472,7 +477,7 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
     rc = region_cells(grid.dim)
     d_ = cfg.max_chunks
     c = cfg.chunk_size
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     kernel = functools.partial(_mass_g2p_kernel, grid, nr)
     return pl.pallas_call(
         kernel,
@@ -520,7 +525,7 @@ def src_rows_from_order(cfg, order2, shifts, interpret=False, vma=None):
     """order2 [D, 2, C] i32 (the two sorted-order rows each destination chunk
     spans) + shifts [D] i32 -> per-chunk source slots [D, 1, C] i32."""
     d_, _, c = order2.shape
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     kernel = functools.partial(_src_rows_kernel, nr)
     return pl.pallas_call(
         kernel,
@@ -597,7 +602,7 @@ def eigen_pool_fused(grid: GridParams, cfg, e, g, interpret=False, vma=None):
     pooled [D, 8, C] (rows 0/1 = neighbor sums of val0/val1)."""
     d_, kn = g.shape[0], g.shape[1]
     c = cfg.chunk_size
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     kernel = functools.partial(
         _eigen_pool_kernel, grid.dim, float(grid.cell_width), kn, nr
     )
@@ -662,7 +667,7 @@ def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None)
     permuted i32 [D, NI, C])."""
     d_, k_src, f, c = gathered.shape
     ni = gathered_i.shape[2]
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     kernel = functools.partial(_permute_kernel, k_src, nr)
     return pl.pallas_call(
         kernel,
@@ -949,7 +954,7 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
     c = cfg.chunk_size
     n_win = dim + (1 if meta["with_psi"] else 0)
     m = tab_f.shape[0]
-    nr = _r_of(cfg)
+    nr = _r_of(cfg, interpret)
     rows_win = n_win * (rc // rs)
     windows = windows.reshape(d_, rows_win, rs)
 

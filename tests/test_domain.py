@@ -83,6 +83,7 @@ def test_domain_matches_single_device_one_substep():
     np.testing.assert_allclose(f_s, f_d, atol=1e-6)
 
 
+@pytest.mark.nightly
 def test_domain_matches_single_device_frames():
     """Multi-frame: trajectories stay statistically identical (counts exact,
     bulk within tolerance; isolated chaotic outliers allowed)."""
@@ -399,6 +400,7 @@ def test_domain_2d_mesh_matches_single_one_substep():
     np.testing.assert_allclose(f_s, f_d, atol=1e-6)
 
 
+@pytest.mark.nightly
 def test_domain_2d_mesh_frames_with_migration():
     """Multi-frame 2D decomposition with diagonal drift: migration hops
     across both axes keep counts exact and trajectories statistically tied."""

@@ -75,6 +75,7 @@ def test_domain_fused_one_substep_matches_single():
     np.testing.assert_allclose(f_s, f_d, atol=1e-6)
 
 
+@pytest.mark.nightly
 def test_domain_fused_migration_and_resort():
     """Fast drift forces pmax-synchronized resorts WITH slot migration;
     counts stay exact, shard occupancy shifts, trajectory stays tied."""
