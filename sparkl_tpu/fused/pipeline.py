@@ -17,11 +17,11 @@ sparse.SparseMpmPipeline (same physics, same trajectories):
 Supported: all built-in constitutive/plastic/failure models, the full
 damage family (eigenerosion, modified eigenerosion, CD-MPM phase field on
 the ob2 block node table), fluid volume recomputation, grid hooks, all
-collider boundary handling, and multi-chip domain decomposition (via the
-parallel.domain.DomainFusedPipeline subclass, which injects halo merge /
-dt pmin / slot migration through the hook attributes below). NOT supported
-(falls back to SparseMpmPipeline via `supports()`): custom Python models,
-boundary particle projection.
+collider boundary handling, boundary particle projection, and multi-chip
+domain decomposition (via the parallel.domain.DomainFusedPipeline subclass,
+which injects halo merge / dt pmin / slot migration through the hook
+attributes below). NOT supported (falls back to SparseMpmPipeline via
+`supports()`): custom Python models.
 """
 
 from typing import Optional
@@ -121,8 +121,6 @@ class FusedMpmPipeline:
     @staticmethod
     def supports(models: registry.ModelSet, params: SolverParameters):
         """(ok, reason): can this scene run on the fused path?"""
-        if params.enable_boundary_particle_projection:
-            return False, "boundary particle projection"
         for t in models.present_c:
             if t >= con.CUSTOM_BASE:
                 return False, f"custom constitutive model {t}"
@@ -404,6 +402,37 @@ class FusedMpmPipeline:
             slots=slots.at[:, r.phase, :].set(phase.reshape(cfg.max_chunks, c))
         )
 
+    def _project_boundary_slots(self, slots, ints, dt):
+        """Boundary particle projection on slot rows (post-advection, the
+        same stage the reference runs it: grid_to_particle.rs:151-166 —
+        penetrating particles snap to the collider surface with the matching
+        velocity correction). The projection displacement feeds the drift
+        row so the lazy-resort trigger accounts for it, and the carried dt
+        bound is refreshed from the corrected velocities."""
+        r, d = self._rows, self.grid.dim
+        active = (ints[:, L.I_FLAGS, :] & L.ACTIVE) != 0
+        pos = jnp.stack([slots[:, r.pos + ax, :] for ax in range(d)], axis=-1)
+        vel = jnp.stack([slots[:, r.vel + ax, :] for ax in range(d)], axis=-1)
+        disp = jnp.zeros(active.shape, jnp.float32)
+        for col in self.colliders:
+            proj, inside = col.project_point(pos)
+            inside = inside & active
+            delta = proj - pos
+            vel = jnp.where(inside[..., None], vel + delta / dt, vel)
+            disp = disp + jnp.where(
+                inside, jnp.max(jnp.abs(delta), axis=-1), 0.0
+            )
+            pos = jnp.where(inside[..., None], proj, pos)
+        for ax in range(d):
+            slots = slots.at[:, r.pos + ax, :].set(pos[..., ax])
+            slots = slots.at[:, r.vel + ax, :].set(vel[..., ax])
+        slots = slots.at[:, r.cumd, :].add(disp)
+        # Velocity changed -> the carried dt-bound row is stale; recompute
+        # from the corrected rows (same helper the fluids pass uses).
+        from types import SimpleNamespace
+
+        return self._refresh_dtb_rows(SimpleNamespace(slots=slots, ints=ints))
+
     # -- one substep (traced) --------------------------------------------------
 
     def _substep(self, state, dt):
@@ -488,6 +517,11 @@ class FusedMpmPipeline:
             windows, dt, self._tab_f, self._tab_i, interpret=self._interpret,
             vma=self._kernel_vma,
         )
+
+        if params.enable_boundary_particle_projection and self.colliders:
+            new_slots = self._project_boundary_slots(
+                new_slots, state.ints, dt
+            )
 
         # Lazy-resort trigger: the kernel accumulates per-slot drift; the
         # trigger scalar is its maximum (max of per-particle sums — much

@@ -257,16 +257,25 @@ def test_fused_capacity_regrow():
 
 
 def test_fused_rejects_unsupported():
-    # CD-MPM became supported in round 3 (ob2 block-table phase field);
-    # boundary particle projection remains the sparse-pipeline fallback.
+    # CD-MPM and boundary particle projection became supported in round 3;
+    # custom Python models remain the sparse-pipeline fallback (kernels
+    # cannot trace user callables).
+    from sparkl_tpu.models import registry as reg
+
     grid, models, p = _scene2d(8)
-    params = sk.SolverParameters(enable_boundary_particle_projection=True)
-    with pytest.raises(ValueError):
-        FusedMpmPipeline(grid, models, [], params, use_pallas="interpret")
-    ok, _ = FusedMpmPipeline.supports(
-        models, sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM)
+    spec = reg.register_custom_constitutive(
+        7, lambda params, ctx: jnp.zeros_like(ctx["deformation_gradient"])
     )
-    assert ok
+    custom = reg.ModelSet.pack([reg.ParticleModel(spec(1.0))])
+    with pytest.raises(ValueError):
+        FusedMpmPipeline(grid, custom, [], sk.SolverParameters(),
+                         use_pallas="interpret")
+    for params in (
+        sk.SolverParameters(damage_model=sk.DamageModel.CD_MPM),
+        sk.SolverParameters(enable_boundary_particle_projection=True),
+    ):
+        ok, why = FusedMpmPipeline.supports(models, params)
+        assert ok, why
 
 
 def test_resort_fallback_matches_fast_path(monkeypatch):
@@ -332,3 +341,47 @@ def test_resort_pure_relabel_shortcut():
     rel = base - np.asarray(out.ints[:, L.I_ORIGIN + 1, :])
     ok = (rel >= 1) & (rel <= 4)
     assert np.all(ok[act != 0])
+
+
+def test_fused_boundary_particle_projection_matches_dense():
+    """Boundary particle projection on slot rows (post-advection snap +
+    velocity correction, ref grid_to_particle.rs:151-166) matches the dense
+    pipeline, and no particle ends up inside the collider."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(1.0e4, 0.3))]
+    )
+
+    def make_p():
+        p = sk.cube_particles(
+            origin=(1.0, 0.62), counts=(10, 10), model_id=0,
+            particle_radius=0.0125, density0=1000.0,
+        )
+        return p.replace(velocity=jnp.broadcast_to(
+            jnp.asarray([0.0, -2.0], jnp.float32), (p.capacity, 2)))
+
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.0)]
+    params = sk.SolverParameters(
+        dt=1.0 / 60.0, enable_boundary_particle_projection=True,
+    )
+    ok, why = FusedMpmPipeline.supports(models, params)
+    assert ok, why
+    dense_pipe = sk.MpmPipeline(grid, models, colliders, params, [0.0, -9.81])
+    fused_pipe = FusedMpmPipeline(
+        grid, models, colliders, params, [0.0, -9.81], use_pallas="interpret"
+    )
+    pd = make_p()
+    pf = make_p()
+    for _ in range(4):
+        pd, _ = dense_pipe.step_with_stats(pd)
+        pf, _ = fused_pipe.step_with_stats(pf)
+    act_d = np.asarray(pd.active)
+    act_f = np.asarray(pf.active)
+    pos_d = np.asarray(pd.position)[act_d]
+    pos_f = np.asarray(pf.position)[act_f]
+    assert pos_f[:, 1].min() > 0.5 - 1e-4  # nothing inside the floor
+    od, of = np.lexsort(pos_d.T), np.lexsort(pos_f.T)
+    np.testing.assert_allclose(pos_d[od], pos_f[of], atol=1e-5)
+    vd = np.asarray(pd.velocity)[act_d][od]
+    vf = np.asarray(pf.velocity)[act_f][of]
+    np.testing.assert_allclose(vd, vf, atol=1e-4)
