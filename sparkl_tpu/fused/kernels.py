@@ -338,16 +338,14 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
         acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
 
         # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
+        # (Mixed bounded-slice + newaxis indexing lowers through gather in
+        # Mosaic — expand first, slice after.)
+        base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
+        extra_x = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
         b1 = jnp.concatenate(
-            [
-                p0_i[0:1, None, :] * w_ax[0][None],
-                p0_i[1 : 1 + dim, None, :] * w_ax[0][None]
-                + acol[0][:, None, :] * wd_ax[0][None],
-            ]
-            + (
-                [p0_i[1 + dim :, None, :] * w_ax[0][None]] if with_psi else []
-            ),
-            axis=0,
+            [base[0:1], base[1 : 1 + dim] + extra_x]
+            + ([base[1 + dim :]] if with_psi else []),  # 0-size slices are
+            axis=0,                                     # invalid in Mosaic
         )
         if dim == 2:
             out1 = _dot_nt(b1.reshape(nf0 * rs, c), w_ax[1])  # [F0*8, 8]
@@ -359,7 +357,9 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
             b1_ay = acol[1][:, None, :] * w_ax[0][None]
             b2_ay = b1_ay[:, :, None, :] * wd_ax[1][None, None]
             b2 = jnp.concatenate(
-                [b2[0:1], b2[1 : 1 + dim] + b2_ay, b2[1 + dim :]], axis=0
+                [b2[0:1], b2[1 : 1 + dim] + b2_ay]
+                + ([b2[1 + dim :]] if with_psi else []),
+                axis=0,
             )
             b2_az = (
                 acol[2][:, None, None, :]
@@ -370,11 +370,8 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
             out2 = _dot_nt(b2_az.reshape(dim * rs * rs, c), wd_ax[2])
             rpf = rs * rs
         out_ref[i] = jnp.concatenate(
-            [
-                out1[:rpf],
-                out1[rpf : rpf * (1 + dim)] + out2,
-                out1[rpf * (1 + dim) :],
-            ],
+            [out1[:rpf], out1[rpf : rpf * (1 + dim)] + out2]
+            + ([out1[rpf * (1 + dim) :]] if with_psi else []),
             axis=0,
         )
 
