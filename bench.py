@@ -46,8 +46,13 @@ def main():
     # =sparse selects the round-1 block-sparse path for comparison.
     which = os.environ.get("SPARKL_BENCH_PIPELINE", "fused")
     cls = FusedMpmPipeline if which == "fused" else SparseMpmPipeline
+    kw = {}
+    if which == "fused":
+        # SPARKL_BENCH_DTYPE=bfloat16 benches the speed/accuracy knob; the
+        # default f32 keeps reference-exact physics (BASELINE.md reports both).
+        kw["transfer_dtype"] = os.environ.get("SPARKL_BENCH_DTYPE", "float32")
     pipe = cls(
-        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks, **kw,
     )
     p = b.particles
     n_active = int(np.asarray(p.num_active))

@@ -347,10 +347,15 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
             + ([base[1 + dim :]] if with_psi else []),  # 0-size slices are
             axis=0,                                     # invalid in Mosaic
         )
+        td = meta.get("tdtype", jnp.float32)
         if dim == 2:
-            out1 = _dot_nt(b1.reshape(nf0 * rs, c), w_ax[1])  # [F0*8, 8]
+            out1 = _dot_nt(
+                b1.reshape(nf0 * rs, c).astype(td), w_ax[1].astype(td)
+            )  # [F0*8, 8]
             b1_ay = acol[1][:, None, :] * w_ax[0][None]
-            out2 = _dot_nt(b1_ay.reshape(dim * rs, c), wd_ax[1])  # [d*8, 8]
+            out2 = _dot_nt(
+                b1_ay.reshape(dim * rs, c).astype(td), wd_ax[1].astype(td)
+            )  # [d*8, 8]
             rpf = rs
         else:
             b2 = b1[:, :, None, :] * w_ax[1][None, None]  # [F0, 8, 8, C]
@@ -366,8 +371,12 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
                 * w_ax[0][None, :, None, :]
                 * w_ax[1][None, None, :, :]
             )
-            out1 = _dot_nt(b2.reshape(nf0 * rs * rs, c), w_ax[2])  # [F0*64, 8]
-            out2 = _dot_nt(b2_az.reshape(dim * rs * rs, c), wd_ax[2])
+            out1 = _dot_nt(
+                b2.reshape(nf0 * rs * rs, c).astype(td), w_ax[2].astype(td)
+            )  # [F0*64, 8]
+            out2 = _dot_nt(
+                b2_az.reshape(dim * rs * rs, c).astype(td), wd_ax[2].astype(td)
+            )
             rpf = rs * rs
         out_ref[i] = jnp.concatenate(
             [out1[:rpf], out1[rpf : rpf * (1 + dim)] + out2]
@@ -725,10 +734,10 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     gathered = []  # per chunk: [d + d*d (+1), C]
     for i in range(nr):
         w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
-        win = win_ref[i]  # [n_win*rpf, 8] (window's last axis on lanes)
-        c_ = win.shape[-1]
-        t1 = _dot(win, w_ax[-1])  # [n_win*rpf, C]
-        t1l = _dot(win[: dim * rpf], wd_ax[-1])  # [d*rpf, C] last grad col
+        td = meta.get("tdtype", jnp.float32)
+        win = win_ref[i].astype(td)  # [n_win*rpf, 8] (last window axis on lanes)
+        t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*rpf, C]
+        t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*rpf, C]
         if dim == 2:
             t1r = t1.reshape(n_win, rs, t1.shape[-1])
             t1lr = t1l.reshape(dim, rs, t1.shape[-1])

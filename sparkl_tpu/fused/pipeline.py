@@ -67,6 +67,7 @@ class FusedMpmPipeline:
         donate: bool = True,
         use_pallas=None,  # None = auto (TPU backend); "interpret" for tests
         calibration_slack: float = 1.4,
+        transfer_dtype: str = "float32",
     ):
         ok, why = FusedMpmPipeline.supports(models, params)
         if not ok:
@@ -101,6 +102,11 @@ class FusedMpmPipeline:
             present_p=models.present_p,
             present_f=models.present_f,
             damage_model=int(params.damage_model),
+            # Transfer-dot operand dtype: bfloat16 doubles MXU rate and
+            # halves the dot-operand traffic at ~3 decimal digits of weight
+            # precision — an explicit speed/accuracy knob (default f32 keeps
+            # reference-exact trajectories; the reference is f32 throughout).
+            tdtype=jnp.bfloat16 if transfer_dtype == "bfloat16" else jnp.float32,
         )
         self._kparams = dict(gpu_velocity_clamp=params.gpu_velocity_clamp)
         # Candidate-list depth for the pairwise eigenerosion pooling:

@@ -102,3 +102,49 @@ def test_aux_kernels_lower_for_tpu(dim):
     e = jnp.zeros((d_, K.EIG_ROWS, c), jnp.float32)
     gg = jnp.zeros((d_, kn, K.EIG_ROWS, c), jnp.float32)
     _lower(lambda a, b: K.eigen_pool_fused(grid, cfg, a, b), e, gg)
+
+
+def test_bf16_transfer_dtype_lowers_and_stays_close():
+    """transfer_dtype='bfloat16': kernels lower for TPU and a short 2D run
+    stays within loose tolerance of the f32 fused path (speed/accuracy knob;
+    the default f32 path keeps exact reference parity)."""
+    from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(2e4, 0.35))]
+    )
+    p = sk.cube_particles((0.8, 1.2), (12, 12), 0, 0.0125, 1000.0)
+    colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    f32 = FusedMpmPipeline(grid, models, colliders, params, [0.0, -9.81],
+                           use_pallas="interpret")
+    bf16 = FusedMpmPipeline(grid, models, colliders, params, [0.0, -9.81],
+                            use_pallas="interpret", transfer_dtype="bfloat16")
+    pa = f32.step(jax.tree_util.tree_map(jnp.array, p))
+    pb = bf16.step(jax.tree_util.tree_map(jnp.array, p))
+    act = np.asarray(pa.active)
+    np.testing.assert_array_equal(act, np.asarray(pb.active))
+    # bf16 weights carry ~3 decimal digits; one frame stays within ~1e-2.
+    np.testing.assert_allclose(
+        np.asarray(pa.position)[act], np.asarray(pb.position)[act], atol=1e-2
+    )
+    d = np.abs(np.asarray(pa.position)[act] - np.asarray(pb.position)[act])
+    assert np.median(d) < 2e-3
+
+    # And the bf16 variant must lower for TPU.
+    grid3, cfg, state, tab_f, tab_i, meta = _setup(3, False)
+    meta = dict(meta, tdtype=jnp.bfloat16)
+    dt = jnp.asarray(1e-3)
+    _lower(
+        lambda s, i, d_: K.p2g_fused(grid3, cfg, meta, s, i, d_, tab_f, tab_i),
+        state.slots, state.ints, dt,
+    )
+    win = jnp.zeros((cfg.max_chunks, 3, region_cells(3)), jnp.float32)
+    _lower(
+        lambda s, i, w, d_: K.g2p_fused(
+            grid3, cfg, meta, dict(gpu_velocity_clamp=False), s, i, w, d_,
+            tab_f, tab_i,
+        ),
+        state.slots, state.ints, win, dt,
+    )
