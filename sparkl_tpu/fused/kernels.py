@@ -667,6 +667,129 @@ def _permute_kernel(k_src, nr, g_ref, gi_ref, target_ref, out_ref, outi_ref):
         )
 
 
+def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
+                        slots_hbm, ints_hbm, out_f, out_i, scr_f, scr_i, sems):
+    """DMA-permute: for destination chunk i, fetch its (<= K, typically 1-3)
+    source chunk rows straight from HBM with predicated async copies, route
+    lanes by 0/1-selection matmuls, and finalize the drift/origin rows
+    in-kernel. Replaces the XLA pre-gather that amplified resort HBM traffic
+    8x (every destination paid the full K padding) and the two whole-tensor
+    copies for the cumd-zero and origin-row writes (ref: the reference pays
+    its sort in kernels, not host round-trips, cuda_sparse_grid.rs:324-427)."""
+    i = pl.program_id(0)
+    c = out_f.shape[-1]
+
+    for k in range(k_src):
+        cid = uniq_ref[i, k]
+
+        @pl.when(cid >= 0)
+        def _():
+            pltpu.make_async_copy(
+                slots_hbm.at[cid], scr_f.at[k], sems.at[0, k]
+            ).start()
+            pltpu.make_async_copy(
+                ints_hbm.at[cid], scr_i.at[k], sems.at[1, k]
+            ).start()
+
+    for k in range(k_src):
+        cid = uniq_ref[i, k]
+
+        @pl.when(cid >= 0)
+        def _():
+            pltpu.make_async_copy(
+                slots_hbm.at[cid], scr_f.at[k], sems.at[0, k]
+            ).wait()
+            pltpu.make_async_copy(
+                ints_hbm.at[cid], scr_i.at[k], sems.at[1, k]
+            ).wait()
+
+    tgt = tgt_ref[0]  # [1, C] -> row
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    nf = out_f.shape[1]
+    ni = out_i.shape[1]
+
+    def routed(k):
+        route = (iota_src + k * c == tgt).astype(jnp.float32)
+        part = _dot(scr_f[k], route)
+        gi = scr_i[k]
+        lo = _dot((gi & jnp.int32(0xFFFF)).astype(jnp.float32), route)
+        hi = _dot(
+            jax.lax.shift_right_logical(gi, 16).astype(jnp.float32), route
+        )
+        return part, lo, hi
+
+    def zero3():
+        return (
+            jnp.zeros((nf, c), jnp.float32),
+            jnp.zeros((ni, c), jnp.float32),
+            jnp.zeros((ni, c), jnp.float32),
+        )
+
+    acc = None
+    acc_lo = None
+    acc_hi = None
+    for k in range(k_src):
+        cid = uniq_ref[i, k]
+        part, lo, hi = jax.lax.cond(cid >= 0, lambda: routed(k), zero3)
+        acc = part if acc is None else acc + part
+        acc_lo = lo if acc_lo is None else acc_lo + lo
+        acc_hi = hi if acc_hi is None else acc_hi + hi
+
+    # Finalize: drift row resets at a sort; origin rows come from the NEW
+    # structure (scalar-prefetched per chunk).
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nf, c), 0)
+    out_f[0] = jnp.where(row_iota == r_cumd, 0.0, acc)
+    ints_out = acc_lo.astype(jnp.int32) | jax.lax.shift_left(
+        acc_hi.astype(jnp.int32), 16
+    )
+    irow_iota = jax.lax.broadcasted_iota(jnp.int32, (ni, c), 0)
+    for ax in range(dim):
+        ints_out = jnp.where(
+            irow_iota == L.I_ORIGIN + ax, org_ref[i, ax], ints_out
+        )
+    out_i[0] = ints_out
+
+
+def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
+                       interpret=False, vma=None):
+    """slots [D, NF, C] + ints [D, NI, C] (HBM-resident) + uniq [D, K] i32
+    source-chunk ids (-1 = unused) + target [D, C] routing (k*C + lane) +
+    origin [D, d] window-origin cells -> permuted (slots', ints') with the
+    drift row zeroed and origin rows written."""
+    d_, nf, c = slots.shape
+    ni = ints.shape[1]
+    k_src = uniq.shape[1]
+    dim = origin.shape[1]
+    kernel = functools.partial(_permute_dma_kernel, k_src, dim, r_cumd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(d_,),
+        in_specs=[
+            pl.BlockSpec((1, 1, c), lambda i, u, o: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nf, c), lambda i, u, o: (i, 0, 0)),
+            pl.BlockSpec((1, ni, c), lambda i, u, o: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k_src, nf, c), jnp.float32),
+            pltpu.VMEM((k_src, ni, c), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, k_src)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            _out_shape((d_, nf, c), jnp.float32, vma),
+            _out_shape((d_, ni, c), jnp.int32, vma),
+        ),
+        interpret=interpret,
+    )(uniq, origin, target.reshape(d_, 1, c), slots, ints)
+
+
 def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None):
     """gathered [D, K, F, C] f32 + gathered_i [D, K, NI, C] i32 + target
     [D, C] (k*C + lane, or >= K*C for 'empty') -> (permuted f32 [D, F, C],

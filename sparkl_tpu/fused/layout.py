@@ -456,10 +456,14 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
         )
     )
 
+    def _finalize(slots, ints):
+        slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
+        return slots, _write_origin_rows(ints, structure, dim)
+
     def pure(_):
         ids0 = jnp.clip(first_chunk, 0, d_ - 1)
         vm = valid[:, None, :]
-        return (
+        return _finalize(
             jnp.where(vm, state.slots[ids0], 0.0),
             jnp.where(vm, state.ints[ids0], 0),
         )
@@ -488,13 +492,14 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
         target = jnp.where(has, k_of * c + src_lane, k_src * c)
 
         def fast(_):
-            ids = jnp.clip(uniq, 0, d_ - 1).reshape(-1)
-            g = state.slots.reshape(d_, r.nf * c)[ids].reshape(
-                d_, k_src, r.nf, c
-            )
-            gi = state.ints.reshape(d_, NI * c)[ids].reshape(d_, k_src, NI, c)
-            return K2.permute_chunks(
-                cfg, g, gi, target, interpret=interpret, vma=vma
+            # In-kernel DMA of each destination's (typically 1-3) source
+            # chunks straight from HBM — no 8x-padded XLA pre-gather, and
+            # the drift/origin finalization happens in the same kernel
+            # (the .at[].set() versions copied the whole slot tensor twice).
+            return K2.permute_chunks_dma(
+                cfg, state.slots, state.ints, uniq, target,
+                structure.chunk_origin, r.cumd,
+                interpret=interpret, vma=vma,
             )
 
         def slow(_):
@@ -506,13 +511,13 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
             sflat = jnp.where(valid, src, 0).reshape(-1)
             nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
             newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
-            return newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+            return _finalize(
+                newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+            )
 
         return jax.lax.cond(k_overflow, slow, fast, None)
 
     slots, ints = jax.lax.cond(pure_relabel, pure, mixed, None)
-    slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
-    ints = _write_origin_rows(ints, structure, dim)
 
     overflow = (
         (structure.num_blocks > cfg.max_blocks)

@@ -98,6 +98,16 @@ def test_aux_kernels_lower_for_tpu(dim):
     gi = jnp.zeros((d_, k_src, L.NI, c), jnp.int32)
     tgt = jnp.zeros((d_, c), jnp.int32)
     _lower(lambda a, b, t: K.permute_chunks(cfg, a, b, t), g, gi, tgt)
+    uniq = jnp.full((d_, k_src), -1, jnp.int32).at[:, 0].set(0)
+    org = jnp.zeros((d_, dim), jnp.int32)
+    _lower(
+        lambda s, ii, u, t, o: K.permute_chunks_dma(
+            cfg, s, ii, u, t, o, r.cumd
+        ),
+        jnp.zeros((d_, r.nf, c), jnp.float32),
+        jnp.zeros((d_, L.NI, c), jnp.int32),
+        uniq, tgt, org,
+    )
     kn = 3 ** dim * 2
     e = jnp.zeros((d_, K.EIG_ROWS, c), jnp.float32)
     gg = jnp.zeros((d_, kn, K.EIG_ROWS, c), jnp.float32)
