@@ -336,48 +336,45 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
         w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
         p0_i = p0[i]  # [F0, C]
         acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
-
-        # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
-        # (Mixed bounded-slice + newaxis indexing lowers through gather in
-        # Mosaic — expand first, slice after.)
-        base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
-        extra_x = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
-        b1 = jnp.concatenate(
-            [base[0:1], base[1 : 1 + dim] + extra_x]
+        td = meta.get("tdtype", jnp.float32)
+        if dim == 2:
+            # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
+            # (Mixed bounded-slice + newaxis indexing lowers through gather
+            # in Mosaic — expand first, slice after.)
+            base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
+            extra = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
+            wl, wdl = w_ax[1], wd_ax[1]
+            rpf = rs
+        else:
+            # One fused xy weight sheet [64, C] per flavor — a single
+            # sublane-broadcast multiply per chain (no staged expansions).
+            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c
+            )
+            wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c
+            )
+            wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
+                rs * rs, c
+            )
+            base = p0_i[:, None, :] * w_xy[None]  # [F0, 64, C]
+            extra = (
+                acol[0][:, None, :] * wd_xy_x[None]
+                + acol[1][:, None, :] * wd_xy_y[None]
+            )  # [d, 64, C]
+            wl, wdl = w_ax[2], wd_ax[2]
+            rpf = rs * rs
+        b = jnp.concatenate(
+            [base[0:1], base[1 : 1 + dim] + extra]
             + ([base[1 + dim :]] if with_psi else []),  # 0-size slices are
             axis=0,                                     # invalid in Mosaic
         )
-        td = meta.get("tdtype", jnp.float32)
-        if dim == 2:
-            out1 = _dot_nt(
-                b1.reshape(nf0 * rs, c).astype(td), w_ax[1].astype(td)
-            )  # [F0*8, 8]
-            b1_ay = acol[1][:, None, :] * w_ax[0][None]
-            out2 = _dot_nt(
-                b1_ay.reshape(dim * rs, c).astype(td), wd_ax[1].astype(td)
-            )  # [d*8, 8]
-            rpf = rs
-        else:
-            b2 = b1[:, :, None, :] * w_ax[1][None, None]  # [F0, 8, 8, C]
-            b1_ay = acol[1][:, None, :] * w_ax[0][None]
-            b2_ay = b1_ay[:, :, None, :] * wd_ax[1][None, None]
-            b2 = jnp.concatenate(
-                [b2[0:1], b2[1 : 1 + dim] + b2_ay]
-                + ([b2[1 + dim :]] if with_psi else []),
-                axis=0,
-            )
-            b2_az = (
-                acol[2][:, None, None, :]
-                * w_ax[0][None, :, None, :]
-                * w_ax[1][None, None, :, :]
-            )
-            out1 = _dot_nt(
-                b2.reshape(nf0 * rs * rs, c).astype(td), w_ax[2].astype(td)
-            )  # [F0*64, 8]
-            out2 = _dot_nt(
-                b2_az.reshape(dim * rs * rs, c).astype(td), wd_ax[2].astype(td)
-            )
-            rpf = rs * rs
+        # Last-axis affine column rides the wd taps of the final dot.
+        b_al = acol[dim - 1 if dim == 2 else 2][:, None, :] * (
+            w_ax[0][None] if dim == 2 else w_xy[None]
+        )
+        out1 = _dot_nt(b.reshape(nf0 * rpf, c).astype(td), wl.astype(td))
+        out2 = _dot_nt(b_al.reshape(dim * rpf, c).astype(td), wdl.astype(td))
         out_ref[i] = jnp.concatenate(
             [out1[:rpf], out1[rpf : rpf * (1 + dim)] + out2]
             + ([out1[rpf * (1 + dim) :]] if with_psi else []),
@@ -859,45 +856,34 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
         w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
         td = meta.get("tdtype", jnp.float32)
         win = win_ref[i].astype(td)  # [n_win*rpf, 8] (last window axis on lanes)
+        c_ = data.shape[2]
         t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*rpf, C]
         t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*rpf, C]
+        # Leading-axes contraction as one elementwise multiply against the
+        # fused weight sheet + ONE sublane-dim reduction per flavor (looped
+        # per-sublane slicing relayouts 8x per tensor on Mosaic).
         if dim == 2:
-            t1r = t1.reshape(n_win, rs, t1.shape[-1])
-            t1lr = t1l.reshape(dim, rs, t1.shape[-1])
-            velpsi = None
-            g0 = None
-            g1 = None
-            for u in range(rs):
-                wx = w_ax[0][u][None, :]
-                wdx = wd_ax[0][u][None, :]
-                velpsi = _acc(velpsi, t1r[:, u, :] * wx)
-                g0 = _acc(g0, t1r[:dim, u, :] * wdx)
-                g1 = _acc(g1, t1lr[:, u, :] * wx)
-            cols = [invd * g0, invd * g1]
+            wsh = w_ax[0]  # [8, C]
+            wsh_d0 = wd_ax[0]
+            wsh_d1 = None
         else:
-            t1r = t1.reshape(n_win, rs, rs, t1.shape[-1])
-            t1lr = t1l.reshape(dim, rs, rs, t1.shape[-1])
-            t2 = None
-            t2y = None
-            t2z = None
-            for u in range(rs):
-                wy = w_ax[1][u][None, None, :]
-                wdy = wd_ax[1][u][None, None, :]
-                t2 = _acc(t2, t1r[:, :, u, :] * wy)
-                t2y = _acc(t2y, t1r[:dim, :, u, :] * wdy)
-                t2z = _acc(t2z, t1lr[:, :, u, :] * wy)
-            velpsi = None
-            g0 = None
-            g1 = None
-            g2 = None
-            for u in range(rs):
-                wx = w_ax[0][u][None, :]
-                wdx = wd_ax[0][u][None, :]
-                velpsi = _acc(velpsi, t2[:, u, :] * wx)
-                g0 = _acc(g0, t2[:dim, u, :] * wdx)
-                g1 = _acc(g1, t2y[:, u, :] * wx)
-                g2 = _acc(g2, t2z[:, u, :] * wx)
-            cols = [invd * g0, invd * g1, invd * g2]
+            wsh = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(rpf, c_)
+            wsh_d0 = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rpf, c_
+            )
+            wsh_d1 = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
+                rpf, c_
+            )
+        t1r = t1.reshape(n_win, rpf, t1.shape[-1])
+        t1lr = t1l.reshape(dim, rpf, t1.shape[-1])
+        velpsi = jnp.sum(t1r * wsh[None], axis=1)  # [n_win, C]
+        g0 = invd * jnp.sum(t1r[:dim] * wsh_d0[None], axis=1)
+        glast = invd * jnp.sum(t1lr * wsh[None], axis=1)
+        if dim == 2:
+            cols = [g0, glast]
+        else:
+            g1 = invd * jnp.sum(t1r[:dim] * wsh_d1[None], axis=1)
+            cols = [g0, g1, glast]
         parts = [velpsi[:dim]] + cols
         if with_psi:
             parts.append(velpsi[dim:])
