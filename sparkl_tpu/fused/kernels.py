@@ -673,11 +673,10 @@ def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
     8x (every destination paid the full K padding) and the two whole-tensor
     copies for the cumd-zero and origin-row writes (ref: the reference pays
     its sort in kernels, not host round-trips, cuda_sparse_grid.rs:324-427)."""
-    i = pl.program_id(0)
     c = out_f.shape[-1]
 
     for k in range(k_src):
-        cid = uniq_ref[i, k]
+        cid = uniq_ref[0, 0, k]
 
         @pl.when(cid >= 0)
         def _():
@@ -689,7 +688,7 @@ def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
             ).start()
 
     for k in range(k_src):
-        cid = uniq_ref[i, k]
+        cid = uniq_ref[0, 0, k]
 
         @pl.when(cid >= 0)
         def _():
@@ -726,7 +725,7 @@ def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
     acc_lo = None
     acc_hi = None
     for k in range(k_src):
-        cid = uniq_ref[i, k]
+        cid = uniq_ref[0, 0, k]
         part, lo, hi = jax.lax.cond(cid >= 0, lambda: routed(k), zero3)
         acc = part if acc is None else acc + part
         acc_lo = lo if acc_lo is None else acc_lo + lo
@@ -742,7 +741,7 @@ def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
     irow_iota = jax.lax.broadcasted_iota(jnp.int32, (ni, c), 0)
     for ax in range(dim):
         ints_out = jnp.where(
-            irow_iota == L.I_ORIGIN + ax, org_ref[i, ax], ints_out
+            irow_iota == L.I_ORIGIN + ax, org_ref[0, 0, ax], ints_out
         )
     out_i[0] = ints_out
 
@@ -758,33 +757,37 @@ def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
     k_src = uniq.shape[1]
     dim = origin.shape[1]
     kernel = functools.partial(_permute_dma_kernel, k_src, dim, r_cumd)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    # Per-program SMEM blocks for the source ids / origins (NOT whole-array
+    # scalar prefetch: uniq is [D, K] and SMEM is ~1MB — a 1M-particle
+    # config blew the budget 6.5x).
+    return pl.pallas_call(
+        kernel,
         grid=(d_,),
         in_specs=[
-            pl.BlockSpec((1, 1, c), lambda i, u, o: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k_src), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, nf, c), lambda i, u, o: (i, 0, 0)),
-            pl.BlockSpec((1, ni, c), lambda i, u, o: (i, 0, 0)),
+            pl.BlockSpec((1, nf, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ni, c), lambda i: (i, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((k_src, nf, c), jnp.float32),
             pltpu.VMEM((k_src, ni, c), jnp.int32),
             pltpu.SemaphoreType.DMA((2, k_src)),
         ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=(
             _out_shape((d_, nf, c), jnp.float32, vma),
             _out_shape((d_, ni, c), jnp.int32, vma),
         ),
         interpret=interpret,
-    )(uniq, origin, target.reshape(d_, 1, c), slots, ints)
+    )(uniq.reshape(d_, 1, k_src), origin.reshape(d_, 1, dim),
+      target.reshape(d_, 1, c), slots, ints)
 
 
 def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None):
