@@ -60,8 +60,8 @@ def auto_pipeline(bundle, prefer="auto", **kw):
         with volume recomputation, where per-substep fixed costs dominate
         and the fused path's resort machinery does not pay for itself;
       * the sparse pipeline whenever the fused path does not support the
-        configuration (CD-MPM, custom Python models, boundary particle
-        projection).
+        configuration (custom Python models only, since round 3 — CD-MPM
+        and boundary particle projection run fused now).
     `prefer` in {"auto", "fused", "sparse", "dense"} forces a path.
     """
     import numpy as _np
