@@ -328,11 +328,6 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
     c = data.shape[2]
     nf0 = 1 + dim + (2 if with_psi else 0)
     for i in range(nr):
-        # Factorized tensor-product scatter: expand per-axis weights on the
-        # VPU, contract the LAST axis on the MXU as ONE tall-skinny dot
-        # [F*8^(d-1), C] @ [C, 8] (plus one for the dpt-weighted last-axis
-        # affine column) — ~5x fewer MXU passes than the per-axis full-window
-        # dots ([6..15, C] @ [C, 8^d] ran the MXU at ~5% M-occupancy).
         w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
         p0_i = p0[i]  # [F0, C]
         acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
@@ -343,11 +338,30 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
             # in Mosaic — expand first, slice after.)
             base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
             extra = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
-            wl, wdl = w_ax[1], wd_ax[1]
-            rpf = rs
+            b = jnp.concatenate(
+                [base[0:1], base[1 : 1 + dim] + extra]
+                + ([base[1 + dim :]] if with_psi else []),  # 0-size slices
+                axis=0,                                     # invalid in Mosaic
+            )
+            b_al = acol[1][:, None, :] * w_ax[0][None]
+            out1 = _dot_nt(b.reshape(nf0 * rs, c).astype(td), w_ax[1].astype(td))
+            out2 = _dot_nt(
+                b_al.reshape(dim * rs, c).astype(td), wd_ax[1].astype(td)
+            )
+            out_ref[i] = jnp.concatenate(
+                [out1[:rs], out1[rs : rs * (1 + dim)] + out2]
+                + ([out1[rs * (1 + dim) :]] if with_psi else []),
+                axis=0,
+            )
         else:
-            # One fused xy weight sheet [64, C] per flavor — a single
-            # sublane-broadcast multiply per chain (no staged expansions).
+            # z-major factorization: expand the CHEAP axis (8 z-taps) on the
+            # VPU and contract the 64-wide xy sheet on the MXU — output rows
+            # (flavor, z), lanes xy. vs the round-3a form ([F*64, C] @ [C, 8])
+            # this is ~4x fewer streamed MXU rows (104 vs 448 per chunk; dot
+            # cost is M-bound on the MXU) and ~8x less VPU expansion. The
+            # emitted region-cell order is z-major (q = z*64 + x*8 + y);
+            # merge/windows fold the relabel into their existing constant
+            # permutations (transfer.ZMAJOR_ORDER_3D).
             w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
                 rs * rs, c
             )
@@ -357,38 +371,39 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
             wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
                 rs * rs, c
             )
-            base = p0_i[:, None, :] * w_xy[None]  # [F0, 64, C]
-            extra = (
-                acol[0][:, None, :] * wd_xy_x[None]
-                + acol[1][:, None, :] * wd_xy_y[None]
-            )  # [d, 64, C]
-            wl, wdl = w_ax[2], wd_ax[2]
-            rpf = rs * rs
-        b = jnp.concatenate(
-            [base[0:1], base[1 : 1 + dim] + extra]
-            + ([base[1 + dim :]] if with_psi else []),  # 0-size slices are
-            axis=0,                                     # invalid in Mosaic
-        )
-        # Last-axis affine column rides the wd taps of the final dot.
-        b_al = acol[dim - 1 if dim == 2 else 2][:, None, :] * (
-            w_ax[0][None] if dim == 2 else w_xy[None]
-        )
-        out1 = _dot_nt(b.reshape(nf0 * rpf, c).astype(td), wl.astype(td))
-        out2 = _dot_nt(b_al.reshape(dim * rpf, c).astype(td), wdl.astype(td))
-        out_ref[i] = jnp.concatenate(
-            [out1[:rpf], out1[rpf : rpf * (1 + dim)] + out2]
-            + ([out1[rpf * (1 + dim) :]] if with_psi else []),
-            axis=0,
-        )
+            wz, wdz = w_ax[2], wd_ax[2]
+            bz = p0_i[:, None, :] * wz[None]  # [F0, 8, C]
+            az_x = acol[0][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_x
+            az_y = acol[1][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_y
+            az_d = acol[2][:, None, :] * wdz[None]  # [d, 8, C] vs w_xy
+            m1 = jnp.concatenate(
+                [bz.reshape(nf0 * rs, c), az_d.reshape(dim * rs, c)], axis=0
+            )
+            o1 = _dot_nt(m1.astype(td), w_xy.astype(td))  # [(F0+d)*8, 64]
+            o2 = _dot_nt(az_x.reshape(dim * rs, c).astype(td), wd_xy_x.astype(td))
+            o3 = _dot_nt(az_y.reshape(dim * rs, c).astype(td), wd_xy_y.astype(td))
+            mom = (
+                o1[rs : rs * (1 + dim)]
+                + o1[nf0 * rs : (nf0 + dim) * rs]
+                + o2
+                + o3
+            )
+            out_ref[i] = jnp.concatenate(
+                [o1[:rs], mom]
+                + ([o1[rs * (1 + dim) : nf0 * rs]] if with_psi else []),
+                axis=0,
+            )
 
 
 def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
               interpret=False, vma=None):
     """Slot state -> window images [D, 1+d(+2), 8^d].
 
-    The kernel emits [D, F*8^(d-1), 8] (last window axis on lanes — the
-    natural layout of the factorized final dot); the trailing reshape is a
-    free linear-order reinterpretation."""
+    The kernel emits rows = (flavor, leading axes), lanes = final dot axis —
+    in 3D rows (f, z) and lanes xy, making the image region-cell order
+    z-major (q = z*64 + x*8 + y, transfer.ZMAJOR_ORDER_3D); in 2D rows
+    (f, x), lanes y (plain row-major). The trailing reshape is a free
+    linear-order reinterpretation."""
     dim = grid.dim
     r = L.Rows(dim)
     rc = region_cells(dim)
@@ -398,7 +413,7 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
     c = cfg.chunk_size
     m = tab_f.shape[0]
     nr = _r_of(cfg, interpret)
-    rows_out = nf_out * (rc // rs)
+    rows_out = nf_out * rs if dim == 3 else nf_out * (rc // rs)
 
     kernel = functools.partial(_p2g_kernel, grid, meta, nr)
     out = pl.pallas_call(
@@ -412,9 +427,12 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nr, rows_out, rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (nr, rows_out, rc * nf_out // rows_out),
+            lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
         ),
-        out_shape=_out_shape((d_, rows_out, rs), jnp.float32, vma),
+        out_shape=_out_shape(
+            (d_, rows_out, rc * nf_out // rows_out), jnp.float32, vma
+        ),
         interpret=interpret,
     )(slots, ints, dt.reshape(1, 1), tab_f, tab_i)
     return out.reshape(d_, nf_out, rc)
@@ -858,34 +876,43 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     for i in range(nr):
         w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
         td = meta.get("tdtype", jnp.float32)
-        win = win_ref[i].astype(td)  # [n_win*rpf, 8] (last window axis on lanes)
         c_ = data.shape[2]
-        t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*rpf, C]
-        t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*rpf, C]
-        # Leading-axes contraction as one elementwise multiply against the
-        # fused weight sheet + ONE sublane-dim reduction per flavor (looped
-        # per-sublane slicing relayouts 8x per tensor on Mosaic).
         if dim == 2:
+            win = win_ref[i].astype(td)  # [n_win*8, 8] (y on lanes)
+            t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*8, C]
+            t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*8, C]
             wsh = w_ax[0]  # [8, C]
             wsh_d0 = wd_ax[0]
-            wsh_d1 = None
-        else:
-            wsh = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(rpf, c_)
-            wsh_d0 = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
-                rpf, c_
-            )
-            wsh_d1 = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
-                rpf, c_
-            )
-        t1r = t1.reshape(n_win, rpf, t1.shape[-1])
-        t1lr = t1l.reshape(dim, rpf, t1.shape[-1])
-        velpsi = jnp.sum(t1r * wsh[None], axis=1)  # [n_win, C]
-        g0 = invd * jnp.sum(t1r[:dim] * wsh_d0[None], axis=1)
-        glast = invd * jnp.sum(t1lr * wsh[None], axis=1)
-        if dim == 2:
+            t1r = t1.reshape(n_win, rpf, t1.shape[-1])
+            t1lr = t1l.reshape(dim, rpf, t1.shape[-1])
+            velpsi = jnp.sum(t1r * wsh[None], axis=1)  # [n_win, C]
+            g0 = invd * jnp.sum(t1r[:dim] * wsh_d0[None], axis=1)
+            glast = invd * jnp.sum(t1lr * wsh[None], axis=1)
             cols = [g0, glast]
         else:
-            g1 = invd * jnp.sum(t1r[:dim] * wsh_d1[None], axis=1)
+            # z-major gather (window rows (flavor, z), lanes xy — the order
+            # kernel A emits): contract the 64-wide xy sheet on the MXU
+            # (K=64 vs the previous K=8 against the z taps — 5x fewer
+            # streamed rows), then reduce the 8 z taps on the VPU.
+            win = win_ref[i].astype(td)  # [n_win*8, 64]
+            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c_
+            )
+            wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c_
+            )
+            wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
+                rs * rs, c_
+            )
+            wz, wdz = w_ax[2], wd_ax[2]
+            t = _dot(win, w_xy.astype(td))  # [n_win*8, C]
+            t_x = _dot(win[: dim * rs], wd_xy_x.astype(td))  # [d*8, C]
+            t_y = _dot(win[: dim * rs], wd_xy_y.astype(td))  # [d*8, C]
+            tr = t.reshape(n_win, rs, c_)
+            velpsi = jnp.sum(tr * wz[None], axis=1)  # [n_win, C]
+            g0 = invd * jnp.sum(t_x.reshape(dim, rs, c_) * wz[None], axis=1)
+            g1 = invd * jnp.sum(t_y.reshape(dim, rs, c_) * wz[None], axis=1)
+            glast = invd * jnp.sum(tr[:dim] * wdz[None], axis=1)
             cols = [g0, g1, glast]
         parts = [velpsi[:dim]] + cols
         if with_psi:
@@ -1061,9 +1088,11 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
               tab_f, tab_i, interpret=False, vma=None):
     """Slot state + grid windows [D, d(+1), 8^d] -> new slot state.
 
-    Windows are re-viewed as [D, F*8^(d-1), 8] (free linear-order
-    reinterpretation) so the kernel's factorized gather contracts the last
-    window axis with the per-particle weight matrix on the MXU."""
+    3D windows must be in z-major region-cell order (what
+    gather_grid_windows(cell_order=ZMAJOR_ORDER_3D) emits): the re-view to
+    [D, F*8, 64] puts (flavor, z) on rows and the xy sheet on lanes for the
+    kernel's K=64 MXU contraction. 2D windows are row-major, re-viewed to
+    [D, F*8, 8]."""
     dim = grid.dim
     r = L.Rows(dim)
     rc = region_cells(dim)
@@ -1073,8 +1102,8 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
     n_win = dim + (1 if meta["with_psi"] else 0)
     m = tab_f.shape[0]
     nr = _r_of(cfg, interpret)
-    rows_win = n_win * (rc // rs)
-    windows = windows.reshape(d_, rows_win, rs)
+    rows_win = n_win * rs if dim == 3 else n_win * (rc // rs)
+    windows = windows.reshape(d_, rows_win, rc * n_win // rows_win)
 
     kernel = functools.partial(_g2p_kernel, grid, meta, params, nr)
     return pl.pallas_call(
@@ -1083,7 +1112,10 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, rows_win, rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nr, rows_win, rc * n_win // rows_win),
+                lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),

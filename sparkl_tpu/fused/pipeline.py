@@ -468,7 +468,12 @@ class FusedMpmPipeline:
             self._tab_f, self._tab_i, interpret=self._interpret,
             vma=self._kernel_vma,
         )
-        node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        # The fused 3D kernels emit/consume z-major region cells; the relabel
+        # is folded into merge/windows' constant permutations (free).
+        cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
+        node = T.merge_images_to_grid(
+            grid, cfg, state.structure, images, cell_order=cell_order
+        )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
             # Cross-device additive merge of boundary-layer block rows
@@ -516,7 +521,9 @@ class FusedMpmPipeline:
         win_fields = jnp.concatenate(win_parts, axis=1).reshape(
             cfg.max_grid_blocks + 1, n_win * cpb
         )
-        windows = T.gather_grid_windows(grid, cfg, state.structure, win_fields)
+        windows = T.gather_grid_windows(
+            grid, cfg, state.structure, win_fields, cell_order=cell_order
+        )
 
         new_slots = K.g2p_fused(
             grid, cfg, self._meta, self._kparams, state.slots, state.ints,

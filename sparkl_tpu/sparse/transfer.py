@@ -213,12 +213,91 @@ def p2g_images(
     return images.reshape(n_groups * g, nf, rc)[:d_]
 
 
-def merge_images_to_grid(
-    grid: GridParams, cfg: BlockConfig, structure: BlockStructure, images
-):
-    """Scatter-add chunk window images into the block grid.
+def _zmajor_order_3d():
+    q = np.arange(region_cells(3))
+    x, y, z = q // 64, (q // 8) % 8, q % 8
+    return z * 64 + x * 8 + y
 
-    images [D, F, 8^d] -> grid [MAX_BLOCKS + 1, 4^d * F] (last block = trash).
+
+# Region-cell relabel for the fused 3D kernels: ZMAJOR_ORDER_3D[q_row] is the
+# z-major position (q = z*64 + x*8 + y) of row-major region cell q_row.
+# p2g_fused emits its image lanes xy-sheet-major (rows (flavor, z)), so its
+# region-cell axis is z-major; merge/windows fold the relabel into their
+# existing constant permutations at zero runtime cost (cell_order=).
+ZMAJOR_ORDER_3D = _zmajor_order_3d()
+
+
+# Static bound on chunks per owner block for the gather-based merge. A block
+# has 4^d cells; nominal seeding is 2^d particles/cell => <= 512 particles =
+# 4 chunks in 3D. 8 leaves 2x headroom for compression; denser blocks trip
+# the (compiled-but-rare) scatter fallback, not an error.
+MERGE_KMAX = 8
+
+
+def _merge_scatter(cfg, structure, rows, nf, cpb, ncorners):
+    """Round-2 formulation: duplicate-index row scatter-add (XLA serializes
+    these on TPU — kept only as the fallback for blocks denser than
+    MERGE_KMAX chunks)."""
+    dest = structure.nbr_index[structure.chunk_block].reshape(-1)
+    out = jnp.zeros((cfg.max_grid_blocks + 1, nf * cpb), jnp.float32)
+    out = out.at[dest].add(rows.reshape(cfg.max_chunks * ncorners, nf * cpb))
+    return out
+
+
+def _merge_gather(cfg, structure, rows, nf, cpb, ncorners, first, nchunks):
+    """Scatter-free merge: per-owner-block segment sum over the contiguous
+    chunk range (bounded KMAX gather; masked lanes hit one shared zero row),
+    then a 2^d inverse-corner GATHER into the storage table. corner_owner is
+    the inverse of nbr_index — unique per (g, k) because distinct owner
+    blocks have distinct corner keys; collisions only land on the trash row,
+    which the caller zeroes."""
+    dmax = cfg.max_chunks
+    width = ncorners * nf * cpb
+    rows = rows.reshape(dmax, width)
+    rows = jnp.concatenate([rows, jnp.zeros((1, width), rows.dtype)], 0)
+
+    idx = first[:, None] + jnp.arange(MERGE_KMAX, dtype=jnp.int32)[None, :]
+    idx = jnp.where(
+        jnp.arange(MERGE_KMAX, dtype=jnp.int32)[None, :] < nchunks[:, None],
+        idx, dmax,
+    )  # [MB, KMAX]; masked -> shared zero row
+    blk = jnp.sum(rows[idx], axis=1)  # [MB, nc*nf*cpb]
+    blk = blk.reshape(cfg.max_blocks, ncorners, nf * cpb)
+    blk = jnp.concatenate(
+        [blk, jnp.zeros((1, ncorners, nf * cpb), blk.dtype)], 0
+    )  # pad row cfg.max_blocks = zero
+
+    nbr = structure.nbr_index  # [MB or MB+1, 2^d]
+    co = jnp.full((cfg.max_grid_blocks + 1, ncorners), cfg.max_blocks, jnp.int32)
+    bidx = jnp.minimum(
+        jnp.arange(nbr.shape[0], dtype=jnp.int32), cfg.max_blocks
+    )[:, None]
+    kidx = jnp.arange(ncorners, dtype=jnp.int32)[None, :]
+    co = co.at[nbr, jnp.broadcast_to(kidx, nbr.shape)].set(
+        jnp.broadcast_to(bidx, nbr.shape)
+    )
+
+    out = jnp.zeros((cfg.max_grid_blocks + 1, nf * cpb), jnp.float32)
+    for k in range(ncorners):
+        out = out + blk[co[:, k], k]
+    return out
+
+
+def merge_images_to_grid(
+    grid: GridParams, cfg: BlockConfig, structure: BlockStructure, images,
+    cell_order=None,
+):
+    """Merge chunk window images into the block grid.
+
+    images [D, F, 8^d] -> grid [MAX_GRID_BLOCKS + 1, 4^d * F] (last block =
+    trash). The additive halo merge of ref: sort.rs merge_halo_blocks, as a
+    segment-sum + bounded inverse gather (see _merge_gather) instead of a
+    duplicate-index scatter; blocks denser than MERGE_KMAX chunks fall back
+    to the scatter form under lax.cond.
+
+    cell_order: optional permutation p with p[q_row] = position of row-major
+    region cell q_row in the images' cell axis (e.g. ZMAJOR_ORDER_3D for the
+    fused 3D kernel's layout); folded into the constant reorder below.
     """
     dim = grid.dim
     nf = images.shape[1]
@@ -228,24 +307,40 @@ def merge_images_to_grid(
 
     # Reorder region cells into (corner, cell) order.
     perm = np.argsort(corner_of_region * cpb + cell_of_region)
+    if cell_order is not None:
+        perm = cell_order[perm]
     imgs = images[:, :, perm].reshape(cfg.max_chunks, nf, ncorners, cpb)
-    imgs = jnp.moveaxis(imgs, 1, 2)  # [D, corners, F, cpb] -> rows per corner
-    rows = imgs.reshape(cfg.max_chunks * ncorners, nf * cpb)
+    rows = jnp.moveaxis(imgs, 1, 2)  # [D, corners, F, cpb] -> rows per corner
 
-    dest_blocks = structure.nbr_index[structure.chunk_block]  # [D, 2^d]
-    dest = dest_blocks.reshape(-1)
+    first = structure.block_first_chunk
+    nchunks = getattr(structure, "block_num_chunks", None)
+    if nchunks is None:
+        # blocks.BlockStructure: block_first_chunk is the exclusive prefix sum
+        # of per-block chunk counts, so the next block's start is this one's end.
+        nchunks = (
+            jnp.concatenate([first[1:], structure.num_chunks[None]]) - first
+        )
 
-    out = jnp.zeros((cfg.max_grid_blocks + 1, nf * cpb), jnp.float32)
-    out = out.at[dest].add(rows)
+    out = jax.lax.cond(
+        jnp.max(nchunks) <= MERGE_KMAX,
+        lambda r: _merge_gather(cfg, structure, r, nf, cpb, ncorners, first, nchunks),
+        lambda r: _merge_scatter(cfg, structure, r, nf, cpb, ncorners),
+        rows,
+    )
     # Trash block (index MAX_GRID_BLOCKS) collects out-of-table writes; zero it.
     out = out.at[cfg.max_grid_blocks].set(0.0)
-    return out  # [MB+1, F*cpb] with F-major per block
+    return out  # [MGB+1, F*cpb] with F-major per block
 
 
 def gather_grid_windows(
-    grid: GridParams, cfg: BlockConfig, structure: BlockStructure, node_fields
+    grid: GridParams, cfg: BlockConfig, structure: BlockStructure, node_fields,
+    cell_order=None,
 ):
-    """Inverse of merge: node_fields [MGB+1, F*4^d] -> window images [D, F, 8^d]."""
+    """Inverse of merge: node_fields [MGB+1, F*4^d] -> window images [D, F, 8^d].
+
+    cell_order: optional permutation p with p[q_row] = output position of
+    row-major region cell q_row (e.g. ZMAJOR_ORDER_3D to feed g2p_fused's
+    3D layout); folded into the constant reorder below."""
     dim = grid.dim
     cpb = cells_per_block(dim)
     nf = node_fields.shape[1] // cpb
@@ -257,6 +352,8 @@ def gather_grid_windows(
     imgs = rows.reshape(cfg.max_chunks, ncorners, nf, cpb)
     imgs = jnp.moveaxis(imgs, 1, 2).reshape(cfg.max_chunks, nf, ncorners * cpb)
     inv_perm = np.argsort(np.argsort(corner_of_region * cpb + cell_of_region))
+    if cell_order is not None:
+        inv_perm = inv_perm[np.argsort(cell_order)]
     return imgs[:, :, inv_perm]  # [D, F, 8^d]
 
 

@@ -25,6 +25,24 @@ def _sync(x):
     _ = float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
 
 
+def _null_ms(iters: int) -> float:
+    """Measured per-call cost of the dispatch+sync harness itself (tunnel
+    RTT through remote backends) — subtracted from every stage so the
+    reported numbers approximate device time, not wire time."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    best = float("inf")
+    for _ in range(3):
+        r = f(x)
+        _sync(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(r)
+        _sync(r)
+        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
+    return best
+
+
 @dataclass
 class SubstepTimings:
     """One substep's stage breakdown, in milliseconds.
@@ -82,7 +100,7 @@ class FusedSubstepTimings:
     pretty = SubstepTimings.pretty
 
 
-def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimings:
+def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTimings:
     """Stage-by-stage timing of one FusedMpmPipeline substep (reproduces
     every per-stage fused number in BASELINE.md; ref: the reference's
     always-on CudaTimestepTimings discipline, cuda_mpm_pipeline.rs:30-85)."""
@@ -103,6 +121,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimi
 
     state = pipe._pack(particles)
     dtj = jnp.asarray(dt, jnp.float32)
+    null = _null_ms(iters)
 
     def timeit(f, *a):
         r = f(*a)
@@ -111,7 +130,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimi
         for _ in range(iters):
             r = f(*a)
         _sync(r)
-        return (time.perf_counter() - t0) / iters * 1000.0, r
+        return max((time.perf_counter() - t0) / iters * 1000.0 - null, 0.0), r
 
     t = FusedSubstepTimings()
 
@@ -123,8 +142,11 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimi
     )
     t.kernel_a, images = timeit(f_a, state.slots, state.ints, dtj)
 
+    cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
     f_m = jax.jit(
-        lambda im: T.merge_images_to_grid(grid, cfg, state.structure, im)
+        lambda im: T.merge_images_to_grid(
+            grid, cfg, state.structure, im, cell_order=cell_order
+        )
     )
     t.merge, node = timeit(f_m, images)
 
@@ -160,7 +182,9 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=5) -> FusedSubstepTimi
         win_fields = jnp.concatenate(win_parts, axis=1).reshape(
             cfg.max_grid_blocks + 1, n_win * cpb
         )
-        return T.gather_grid_windows(grid, cfg, state.structure, win_fields)
+        return T.gather_grid_windows(
+            grid, cfg, state.structure, win_fields, cell_order=cell_order
+        )
 
     t.windows, windows = timeit(jax.jit(f_w), velocity)
 
