@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sparkl_tpu.core.grid import GridParams
 from sparkl_tpu.math import cmat
 from sparkl_tpu.math.kernel import inv_d as kernel_inv_d
+from sparkl_tpu.math.svd import svd_c
 from sparkl_tpu.models import constitutive as con
 from sparkl_tpu.models import failure as fail
 from sparkl_tpu.models import plasticity as plas
@@ -228,18 +229,77 @@ def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
     return stress
 
 
-def _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f):
+def _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f, s=None):
+    """s: optional precomputed singular values of f (order-free use) — lets
+    the stress-cache epilogue share ONE SVD between energy and stress."""
     m_count, present_c = meta["m_count"], meta["present_c"]
     ct = _select_itype(tab_i, mid, m_count, 0)
     p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(2)]
     out = jnp.zeros_like(phase)
     if con.COROTATED in present_c:
-        e = con.corotated_pos_energy_c(p[0], p[1], eh, f)
+        if s is not None:
+            e = con.corotated_pos_energy_from_s_c(p[0], p[1], eh, f, s)
+        else:
+            e = con.corotated_pos_energy_c(p[0], p[1], eh, f)
         out = jnp.where(ct == con.COROTATED, e, out)
     if con.NEO_HOOKEAN in present_c:
         e = con.neo_hookean_pos_energy_c(p[0], p[1], phase, eh, f)
         out = jnp.where(ct == con.NEO_HOOKEAN, e, out)
     return out
+
+
+def _sym_expand(st, dim):
+    """Upper-triangle stress rows -> full nested-list matrix."""
+    if dim == 2:
+        return [[st[0], st[1]], [st[1], st[2]]]
+    return [
+        [st[0], st[1], st[2]],
+        [st[1], st[3], st[4]],
+        [st[2], st[4], st[5]],
+    ]
+
+
+def _cached_stress_epilogue_c(meta, tab_f, tab_i, mid, phase, eh, f, usv):
+    """Stress for the cache rows (kernel B epilogue): corotated from the
+    shared SVD, neo-hookean closed-form. EOS fluids are left ZERO — their
+    F00 is refreshed by the inter-kernel fluids-volume pass, so kernel A
+    computes EOS stress fresh (it needs no SVD)."""
+    m_count, present_c = meta["m_count"], meta["present_c"]
+    ct = _select_itype(tab_i, mid, m_count, 0)
+    p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(4)]
+    stress = cmat.zeros_like_mat(f)
+    if con.COROTATED in present_c:
+        u, s, v = usv
+        st = con.corotated_kirchhoff_stress_from_svd_c(
+            p[0], p[1], p[3], phase, eh, f, u, s, v
+        )
+        stress = cmat.where_mat(ct == con.COROTATED, st, stress)
+    if con.NEO_HOOKEAN in present_c:
+        st = con.neo_hookean_kirchhoff_stress_c(p[0], p[1], phase, eh, f)
+        stress = cmat.where_mat(ct == con.NEO_HOOKEAN, st, stress)
+    return stress
+
+
+def _cached_stress_read_c(meta, tab_f, tab_i, mid, row, rows, f, g, mass, vol0):
+    """Kernel A's stress under meta["stress_cache"]: read the symmetric
+    cache rows written by the previous kernel B (or pack), then overlay a
+    fresh EOS evaluation for fluids (see _cached_stress_epilogue_c)."""
+    dim = len(f)
+    m_count, present_c = meta["m_count"], meta["present_c"]
+    st = [row(rows.stress + k) for k in range(rows.nstress)]
+    stress = _sym_expand(st, dim)
+    if con.EOS_MONAGHAN_SPH in present_c:
+        ct = _select_itype(tab_i, mid, m_count, 0)
+        p = [_select_param(tab_f, mid, m_count, TAB_C + k) for k in range(4)]
+        fluid_j = f[0][0]
+        density_fluid = (mass / jnp.maximum(vol0, 1e-30)) / jnp.maximum(
+            fluid_j, 1e-20
+        )
+        s_eos = con.eos_kirchhoff_stress_c(
+            p[0], p[1], p[2], p[3], mass, vol0, density_fluid, fluid_j, g
+        )
+        stress = cmat.where_mat(ct == con.EOS_MONAGHAN_SPH, s_eos, stress)
+    return stress
 
 
 def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
@@ -296,7 +356,18 @@ def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_r
     f = _mat(row, r.defgrad, dim)
     g = _mat(row, r.grad, dim)
 
-    stress = _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0)
+    if meta.get("stress_cache"):
+        # Stress was computed by the PREVIOUS kernel B (or pack) from the
+        # same F this kernel reads — skips this kernel's SVD entirely
+        # (measured ~70% of kernel A at 500k). Gated off for damage/failure
+        # scenes, whose phase can change between the kernels.
+        stress = _cached_stress_read_c(
+            meta, tab_f, tab_i, mid, row, r, f, g, mass, vol0
+        )
+    else:
+        stress = _kirchhoff_stress_c(
+            meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
+        )
     # affine = m*C - V0*invd*dt*sigma, zero stress for failed debris
     # (ref: particle_to_grid.rs / dense.p2g_scatter).
     coeff = vol0 * invd * dt
@@ -976,9 +1047,34 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     # Plastic return mapping (masked per present type).
     pt = _select_itype(tab_i, mid, m_count, 1)
     pp = [_select_param(tab_f, mid, m_count, TAB_P + k) for k in range(8)]
+    stress_cache = meta.get("stress_cache")
+    # SVD-reuse fast path: when Drucker-Prager is the only plasticity, ONE
+    # SVD of the post-update F serves the return map, the pos energy, AND
+    # the cached stress — DP only rescales singular values, so
+    # (U, s_sel, V) stays an exact SVD of the projected F. (Other plasticity
+    # models re-decompose internally; they fall back to a post-guard SVD.)
+    svd_reuse = (
+        stress_cache
+        and con.COROTATED in meta["present_c"]
+        and set(present_p) <= {plas.DRUCKER_PRAGER}
+    )
+    usv = svd_c(f) if svd_reuse else None
     if plas.DRUCKER_PRAGER in present_p:
-        f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(pp, phase, f, pdd, ph, lvg)
+        if svd_reuse:
+            f2, pdd2, ph2, lvg2, s_sel = plas.drucker_prager_update_with_svd_c(
+                pp, phase, f, pdd, ph, lvg, usv
+            )
+        else:
+            f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(
+                pp, phase, f, pdd, ph, lvg
+            )
         m = pt == plas.DRUCKER_PRAGER
+        if svd_reuse:
+            usv = (
+                usv[0],
+                [jnp.where(m, ss, s0) for ss, s0 in zip(s_sel, usv[1])],
+                usv[2],
+            )
         f = cmat.where_mat(m, f2, f)
         pdd = jnp.where(m, pdd2, pdd)
         ph = jnp.where(m, ph2, ph)
@@ -1011,9 +1107,26 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     f = cmat.where_mat(broken, cmat.identity_c(dim, zero), f)
     g = cmat.where_mat(broken, cmat.zeros_like_mat(g), g)
     failed_new = failed | broken
+    if usv is not None:
+        # Broken slots snapped F to identity above: force unit singular
+        # values so energy is 0 there (U/V go stale but their stress is
+        # both zero-valued and masked by `failed` in kernel A).
+        usv = (
+            usv[0],
+            [jnp.where(broken, 1.0, si) for si in usv[1]],
+            usv[2],
+        )
 
-    # Pos energy accumulation.
-    energy = _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f)
+    # Pos energy accumulation. Under the stress cache, ONE SVD of the final
+    # F serves both the energy and the cached stress for the next kernel A
+    # (the reference's g2p2g computes stress once per substep in-kernel for
+    # the same reason, g2p2g.rs).
+    if stress_cache and usv is None and con.COROTATED in meta["present_c"]:
+        usv = svd_c(f)
+    energy = _pos_energy_c(
+        meta, tab_f, tab_i, mid, phase, eh, f,
+        s=(usv[1] if usv is not None else None),
+    )
     psi_pos = jnp.maximum(psi_pos, energy)
     par1 = psi_pos * mass
     par2 = mass
@@ -1079,6 +1192,15 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     rows += [row(r.cpf), row(r.cthr), bound,
              failed_new.astype(jnp.float32), row(r.radius0), par1, par2,
              row(r.m_c), row(r.g), row(r.debug), cumd]
+    if stress_cache:
+        st = _cached_stress_epilogue_c(
+            meta, tab_f, tab_i, mid, phase, eh, f, usv
+        )
+        # Upper triangle, clipped inf-free (slot-row contract, layout.BIGF).
+        rows += [
+            jnp.clip(st[i2][j2], -L.BIGF, L.BIGF)
+            for i2 in range(dim) for j2 in range(i2, dim)
+        ]
     while len(rows) < r.nf:
         rows.append(zero)
     out_ref[...] = jnp.stack(rows, axis=1)

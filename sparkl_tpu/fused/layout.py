@@ -167,8 +167,23 @@ class Rows:
         return self._scalars + 19 + self.dim
 
     @property
+    def stress(self):
+        # Cached Kirchhoff stress (symmetric upper triangle, row-major:
+        # 3D (00,01,02,11,12,22); 2D (00,01,11)) of the CURRENT deformation
+        # gradient — written by kernel B from its consolidated SVD, consumed
+        # by the next substep's kernel A so the stress SVD runs once per
+        # substep instead of twice (the reference's g2p2g computes stress in
+        # the same kernel as the scatter for the same reason, g2p2g.rs).
+        # Valid only under meta["stress_cache"]; zeros otherwise.
+        return self._scalars + 20 + self.dim
+
+    @property
+    def nstress(self):
+        return self.dim * (self.dim + 1) // 2
+
+    @property
     def nf(self):
-        return _round8(self._scalars + 20 + self.dim)
+        return _round8(self._scalars + 20 + self.dim + self.nstress)
 
 
 @jax.tree_util.register_dataclass
@@ -193,8 +208,11 @@ class SlotState:
         return _r(self, **kw)
 
 
-def _field_columns(r: Rows, p: Particles, dtb):
-    """Particles pytree -> list of NF [N] f32 columns (row order of Rows)."""
+def _field_columns(r: Rows, p: Particles, dtb, stress=None):
+    """Particles pytree -> list of NF [N] f32 columns (row order of Rows).
+
+    stress: optional [N, d, d] Kirchhoff stress for the cache rows (see
+    Rows.stress); zeros when absent (non-cache pipelines)."""
     d = p.dim
     cols = [p.position[:, ax] for ax in range(d)]
     cols += [p.velocity[:, ax] for ax in range(d)]
@@ -207,16 +225,20 @@ def _field_columns(r: Rows, p: Particles, dtb):
     cols += [p.crack_propagation_factor, p.crack_threshold, dtb,
              p.failed.astype(jnp.float32), p.radius0, p.parameter1,
              p.parameter2, p.m_c, p.g, p.debug_val]
+    cols.append(jnp.zeros_like(p.mass))  # cumd starts at zero
+    if stress is not None:
+        cols += [stress[:, i, j] for i in range(d) for j in range(i, d)]
     while len(cols) < r.nf:
         cols.append(jnp.zeros_like(p.mass))
     return cols
 
 
 def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb,
-         cache_fn=None) -> SlotState:
+         cache_fn=None, stress=None) -> SlotState:
     """Particles (original order) -> slot state. `dtb` = per-particle dt
     bounds [N] (dense.particle_dt_bounds), carried as a state row; `cache_fn`
-    (structure -> grid_cache) builds the carried grid-side cache."""
+    (structure -> grid_cache) builds the carried grid-side cache; `stress`
+    [N, d, d] seeds the stress-cache rows (see Rows.stress)."""
     r = Rows(p.dim)
     d = p.dim
 
@@ -227,7 +249,7 @@ def pack(grid: GridParams, cfg: BlockConfig, p: Particles, dtb,
         cfg, sort_order, chunk_start, structure.chunk_count
     )
 
-    packed = jnp.stack(_field_columns(r, p, dtb), axis=1)  # [N, NF]
+    packed = jnp.stack(_field_columns(r, p, dtb, stress=stress), axis=1)  # [N, NF]
     packed = jnp.clip(packed, -BIGF, BIGF)  # inf-free slots (see BIGF)
     flat = jnp.where(slot_valid[:, None], packed[src], 0.0)
     slots = jnp.moveaxis(

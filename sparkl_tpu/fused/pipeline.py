@@ -102,6 +102,16 @@ class FusedMpmPipeline:
             present_p=models.present_p,
             present_f=models.present_f,
             damage_model=int(params.damage_model),
+            # Kernel B writes next-substep Kirchhoff stress into slot rows
+            # from its consolidated SVD; kernel A reads instead of re-decomposing
+            # (one SVD/substep instead of ~2.5 — the dominant in-kernel cost).
+            # Requires phase/eh to be kernel-only state: damage pools and
+            # failure models mutate phase between the kernels, so they keep
+            # the compute-in-A path.
+            stress_cache=(
+                params.damage_model == DamageModel.NONE
+                and not models.present_f
+            ),
             # Transfer-dot operand dtype: bfloat16 doubles MXU rate and
             # halves the dot-operand traffic at ~3 decimal digits of weight
             # precision — an explicit speed/accuracy knob (default f32 keeps
@@ -669,8 +679,18 @@ class FusedMpmPipeline:
     def _pack(self, particles):
         particles = dense.mark_out_of_grid_failed(self.grid, particles)
         dtb = dense.particle_dt_bounds(self.grid, particles, self.models)
+        stress = None
+        if self._meta.get("stress_cache"):
+            # Seed the cache rows so the FIRST kernel A reads valid stress
+            # (kernel B maintains them from then on).
+            stress = registry.kirchhoff_stress(
+                self.models, particles.model_id, particles.phase,
+                particles.elastic_hardening, particles.deformation_gradient,
+                particles.velocity_gradient, particles.mass,
+                particles.volume0,
+            )
         return L.pack(self.grid, self._cfg, particles, dtb,
-                      cache_fn=self._grid_cache)
+                      cache_fn=self._grid_cache, stress=stress)
 
     def _unpack(self, state, capacity):
         return L.unpack(self.grid, self._cfg, state, capacity, self.grid.dim)

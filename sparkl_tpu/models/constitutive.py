@@ -52,9 +52,20 @@ def corotated_kirchhoff_stress(lam, mu, split_on_failure, phase, hardening, f):
 
 def corotated_kirchhoff_stress_c(lam, mu, split_on_failure, phase, hardening, f):
     """Component-wise core (nested-list matrices; Pallas-kernel safe)."""
+    u, s, v = svd_c(f)
+    return corotated_kirchhoff_stress_from_svd_c(
+        lam, mu, split_on_failure, phase, hardening, f, u, s, v
+    )
+
+
+def corotated_kirchhoff_stress_from_svd_c(
+    lam, mu, split_on_failure, phase, hardening, f, u, s, v
+):
+    """corotated_kirchhoff_stress_c with a caller-supplied SVD of f — lets a
+    kernel that already decomposed F (plasticity, pos-energy) amortize the
+    one genuinely expensive step of the stress evaluation."""
     d = len(f)
     j = cmat.det_c(f)
-    u, s, v = svd_c(f)
     pos = [jnp.maximum(si - 1.0, 0.0) for si in s]
     neg = [jnp.minimum(si - 1.0, 0.0) for si in s]
     coeff = 2.0 * mu * hardening
@@ -89,8 +100,14 @@ def corotated_pos_energy(lam, mu, hardening, f):
 def corotated_pos_energy_c(lam, mu, hardening, f):
     from sparkl_tpu.math.svd import svd_values_c
 
-    j = cmat.det_c(f)
     s = svd_values_c(f)  # order-free use; skips the U/V construction
+    return corotated_pos_energy_from_s_c(lam, mu, hardening, f, s)
+
+
+def corotated_pos_energy_from_s_c(lam, mu, hardening, f, s):
+    """corotated_pos_energy_c with caller-supplied singular values of f
+    (order-free use), so one SVD can serve both stress and energy."""
+    j = cmat.det_c(f)
     pos_dev = mu * hardening * sum(jnp.maximum(si - 1.0, 0.0) ** 2 for si in s)
     spherical = lam * hardening / 2.0 * (j - 1.0) ** 2
     return jnp.where(j < 1.0, pos_dev, pos_dev + spherical)

@@ -71,10 +71,24 @@ def drucker_prager_update_c(
     params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain
 ):
     """Component-wise core. params = list of 8 scalars."""
+    out = drucker_prager_update_with_svd_c(
+        params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain,
+        svd_c(f),
+    )
+    return out[:4]
+
+
+def drucker_prager_update_with_svd_c(
+    params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain, usv
+):
+    """drucker_prager_update_c with a caller-supplied SVD of f. Additionally
+    returns the projected singular values s_sel (f_new = U diag(s_sel) Vᵀ
+    exactly, since the return map only rescales singular values) — lets the
+    caller carry a valid SVD of the projected F without re-decomposing."""
     h0, h1, h2, h3, lam, mu, only_when_failed, vol_corr = params
     d = len(f)
 
-    u, s, v = svd_c(f)
+    u, s, v = usv
     alpha = drucker_prager_alpha(h0, h1, h2, h3, plastic_hardening)
 
     strain = [jnp.log(jnp.maximum(si, 1e-20)) + log_vol_gain / d for si in s]
@@ -121,7 +135,8 @@ def drucker_prager_update_c(
     new_hardening = plastic_hardening + jnp.where(applied, dq, 0.0)
     f_proj = cmat.recompose_c(u, new_s, v)
     f_new = cmat.where_mat(applied, f_proj, f)
-    return f_new, new_plastic_def_det, new_hardening, new_log_vol_gain
+    s_sel = [jnp.where(applied, ns, si) for ns, si in zip(new_s, s)]
+    return f_new, new_plastic_def_det, new_hardening, new_log_vol_gain, s_sel
 
 
 # ---------------------------------------------------------------------------
