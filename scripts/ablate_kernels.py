@@ -40,7 +40,13 @@ def patched(obj, name, repl):
 
 
 def timeit(f, *a, iters=20, null=0.0):
-    jf = jax.jit(f)  # jit once per variant — tracing happens under the patches
+    # jax.jit's C++ fast path caches by function IDENTITY: re-jitting the
+    # same `run_a` object under a different monkeypatch returns the OLD
+    # executable and silently ignores the stubs (this bit once — every
+    # variant measured identical). Clear caches and wrap in a fresh lambda
+    # so each variant genuinely retraces under its patches.
+    jax.clear_caches()
+    jf = jax.jit(lambda *args: f(*args))
     r = jf(*a)
     _sync(r)
     t0 = time.perf_counter()

@@ -24,7 +24,12 @@ Algorithms:
 import jax
 import jax.numpy as jnp
 
-_JACOBI_SWEEPS = 7  # 7 sweeps x 3 rotations (sqrt-only algebraic Givens)
+# Sweeps x 3 rotations (sqrt-only algebraic Givens). Measured convergence:
+# on deformation-gradient-like inputs (I + 0.05N through 2N extremes, f32)
+# max |sigma - sigma_ref| and reconstruction error hit the f32 floor at 3
+# sweeps and do not improve through 7; 4 keeps one sweep of margin for
+# pathological inputs at ~40% less Jacobi work than the previous 7.
+_JACOBI_SWEEPS = 4
 
 
 def svd2x2(f):
