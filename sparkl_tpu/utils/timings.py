@@ -214,6 +214,125 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
     return t
 
 
+@dataclass
+class ResortTimings:
+    """Per-stage breakdown of one fused-path resort, milliseconds.
+
+    build = build_slot_structure (global key sort + compactions),
+    src = per-chunk source-slot extraction (row gather + lane-shift kernel),
+    permute_pure = the single-chunk-row-gather relabel shortcut,
+    permute_mixed = the in-kernel DMA permute (src analysis + kernel),
+    grid_cache = node positions + collider projection rebuild."""
+
+    build: float = 0.0
+    src: float = 0.0
+    permute_pure: float = 0.0
+    permute_mixed: float = 0.0
+    grid_cache: float = 0.0
+    total: float = 0.0
+
+    as_dict = SubstepTimings.as_dict
+    pretty = SubstepTimings.pretty
+
+
+def profile_resort(pipe, particles, iters=20) -> ResortTimings:
+    """Stage-by-stage timing of the fused-path resort on the CURRENT state
+    (the bench falling phase pays this every few substeps; see
+    layout.resort for the staged structure this mirrors)."""
+    from sparkl_tpu.fused import kernels as K, layout as L, structure as S
+
+    pipe._ensure_cfg(particles)
+    grid, cfg = pipe.grid, pipe._cfg
+    dim = grid.dim
+    interp = pipe._interpret
+    r = L.Rows(dim)
+    c, d_ = cfg.chunk_size, cfg.max_chunks
+
+    state = pipe._pack(particles)
+    null = _null_ms(iters)
+
+    def timeit(f, *a):
+        jf = jax.jit(f)
+        res = jf(*a)
+        _sync(res)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = jf(*a)
+        _sync(res)
+        return max((time.perf_counter() - t0) / iters * 1000.0 - null, 0.0), res
+
+    t = ResortTimings()
+
+    def f_build(slots, ints):
+        pos = jnp.stack(
+            [slots[:, r.pos + ax, :].reshape(-1) for ax in range(dim)], axis=-1
+        )
+        flags = ints[:, L.I_FLAGS, :].reshape(-1)
+        occupied = (flags & L.OCCUPIED) != 0
+        active = occupied & ((flags & L.ACTIVE) != 0)
+        return S.build_slot_structure(grid, cfg, pos, active, occupied)
+
+    t.build, (structure, sort_order, chunk_start) = timeit(
+        f_build, state.slots, state.ints
+    )
+
+    def f_src(order, start):
+        start = jnp.minimum(start, jnp.int32(d_ * c - c))
+        ord2d = order.reshape(d_, c)
+        r0 = start // c
+        g2 = ord2d[
+            jnp.stack([r0, jnp.minimum(r0 + 1, d_ - 1)], axis=1).reshape(-1)
+        ].reshape(d_, 2, c)
+        return K.src_rows_from_order(cfg, g2, start % c, interpret=interp)[:, 0, :]
+
+    t.src, src = timeit(f_src, sort_order, chunk_start)
+
+    lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
+    valid = lanes < structure.chunk_count[:, None]
+    first_chunk = src[:, 0] // c
+
+    def f_pure(slots, ints):
+        ids0 = jnp.clip(first_chunk, 0, d_ - 1)
+        vm = valid[:, None, :]
+        return jnp.where(vm, slots[ids0], 0.0), jnp.where(vm, ints[ids0], 0)
+
+    t.permute_pure, _ = timeit(f_pure, state.slots, state.ints)
+
+    sentinel = jnp.int32(2**30)
+    src_chunk = jnp.where(valid, src // c, sentinel)
+    src_lane = jnp.where(valid, src % c, 0)
+    k_src = L.PERMUTE_SRC_CHUNKS
+
+    def f_mixed(slots, ints):
+        sc_sorted = jnp.sort(src_chunk, axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
+        )
+        flag = (sc_sorted != prev) & (sc_sorted < sentinel)
+        rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
+        kr = jnp.arange(k_src, dtype=jnp.int32)
+        onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
+        uniq = jnp.sum(jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1)
+        nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
+        uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
+        eq = src_chunk[:, :, None] == uniq[:, None, :]
+        k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
+        has = jnp.any(eq, axis=-1) & valid
+        target = jnp.where(has, k_of * c + src_lane, k_src * c)
+        return K.permute_chunks_dma(
+            cfg, slots, ints, uniq, target, structure.chunk_origin, r.cumd,
+            interpret=interp,
+        )[0]
+
+    t.permute_mixed, _ = timeit(f_mixed, state.slots, state.ints)
+
+    if pipe._grid_cache is not None:
+        t.grid_cache, _ = timeit(lambda s: pipe._grid_cache(s), structure)
+
+    t.total = t.build + t.src + t.permute_mixed + t.grid_cache
+    return t
+
+
 def profile_sparse_substep(pipe, particles, dt=1e-3, iters=5) -> SubstepTimings:
     """Stage-by-stage timing of one SparseMpmPipeline substep."""
     from sparkl_tpu.sparse import blocks as B, transfer as T
