@@ -196,7 +196,9 @@ class FusedMpmPipeline:
             grid, cfg, state.slots, state.ints, interpret=self._interpret,
             vma=self._kernel_vma,
         )
-        node = T.merge_images_to_grid(grid, cfg, state.structure, images)
+        node = T.merge_images_to_grid(
+            grid, cfg, state.structure, images, gather=True
+        )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
             # Boundary-column partial masses summed across shards before the
@@ -482,7 +484,8 @@ class FusedMpmPipeline:
         # is folded into merge/windows' constant permutations (free).
         cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
         node = T.merge_images_to_grid(
-            grid, cfg, state.structure, images, cell_order=cell_order
+            grid, cfg, state.structure, images, cell_order=cell_order,
+            gather=True,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:

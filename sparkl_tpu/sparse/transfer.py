@@ -285,15 +285,23 @@ def _merge_gather(cfg, structure, rows, nf, cpb, ncorners, first, nchunks):
 
 def merge_images_to_grid(
     grid: GridParams, cfg: BlockConfig, structure: BlockStructure, images,
-    cell_order=None,
+    cell_order=None, gather=False,
 ):
     """Merge chunk window images into the block grid.
 
     images [D, F, 8^d] -> grid [MAX_GRID_BLOCKS + 1, 4^d * F] (last block =
-    trash). The additive halo merge of ref: sort.rs merge_halo_blocks, as a
-    segment-sum + bounded inverse gather (see _merge_gather) instead of a
-    duplicate-index scatter; blocks denser than MERGE_KMAX chunks fall back
-    to the scatter form under lax.cond.
+    trash). The additive halo merge of ref: sort.rs merge_halo_blocks.
+
+    gather=True uses the scatter-free form (per-block segment sum + bounded
+    inverse-corner gather, see _merge_gather; blocks denser than MERGE_KMAX
+    chunks fall back to the scatter under lax.cond) — ~6x faster on TPU,
+    where XLA serializes duplicate-index scatters. The fused pipeline uses
+    it. The default stays the chunk-major scatter-add: its summation order
+    matches the shard partition of the domain decomposition almost exactly,
+    which keeps single-vs-multi-device trajectories bitwise-close — the
+    gather's corner-major order interleaves shards and its ~1e-7 reordering
+    noise can flip discrete damage thresholds between decompositions
+    (observed on the MODIFIED_EIGENEROSION domain equivalence test).
 
     cell_order: optional permutation p with p[q_row] = position of row-major
     region cell q_row in the images' cell axis (e.g. ZMAJOR_ORDER_3D for the
@@ -312,21 +320,27 @@ def merge_images_to_grid(
     imgs = images[:, :, perm].reshape(cfg.max_chunks, nf, ncorners, cpb)
     rows = jnp.moveaxis(imgs, 1, 2)  # [D, corners, F, cpb] -> rows per corner
 
-    first = structure.block_first_chunk
-    nchunks = getattr(structure, "block_num_chunks", None)
-    if nchunks is None:
-        # blocks.BlockStructure: block_first_chunk is the exclusive prefix sum
-        # of per-block chunk counts, so the next block's start is this one's end.
-        nchunks = (
-            jnp.concatenate([first[1:], structure.num_chunks[None]]) - first
+    if gather:
+        first = structure.block_first_chunk
+        nchunks = getattr(structure, "block_num_chunks", None)
+        if nchunks is None:
+            # blocks.BlockStructure: block_first_chunk is the exclusive
+            # prefix sum of per-block chunk counts, so the next block's
+            # start is this one's end.
+            nchunks = (
+                jnp.concatenate([first[1:], structure.num_chunks[None]])
+                - first
+            )
+        out = jax.lax.cond(
+            jnp.max(nchunks) <= MERGE_KMAX,
+            lambda r: _merge_gather(
+                cfg, structure, r, nf, cpb, ncorners, first, nchunks
+            ),
+            lambda r: _merge_scatter(cfg, structure, r, nf, cpb, ncorners),
+            rows,
         )
-
-    out = jax.lax.cond(
-        jnp.max(nchunks) <= MERGE_KMAX,
-        lambda r: _merge_gather(cfg, structure, r, nf, cpb, ncorners, first, nchunks),
-        lambda r: _merge_scatter(cfg, structure, r, nf, cpb, ncorners),
-        rows,
-    )
+    else:
+        out = _merge_scatter(cfg, structure, rows, nf, cpb, ncorners)
     # Trash block (index MAX_GRID_BLOCKS) collects out-of-table writes; zero it.
     out = out.at[cfg.max_grid_blocks].set(0.0)
     return out  # [MGB+1, F*cpb] with F-major per block

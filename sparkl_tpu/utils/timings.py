@@ -145,7 +145,8 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
     cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
     f_m = jax.jit(
         lambda im: T.merge_images_to_grid(
-            grid, cfg, state.structure, im, cell_order=cell_order
+            grid, cfg, state.structure, im, cell_order=cell_order,
+            gather=True,
         )
     )
     t.merge, node = timeit(f_m, images)
