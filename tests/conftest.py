@@ -14,5 +14,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: repeat suite runs (and repeated shapes within a
+# run) skip XLA:CPU's multi-second compiles of the interpret-mode kernels.
+os.makedirs("/tmp/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
