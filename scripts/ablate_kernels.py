@@ -122,8 +122,33 @@ def main():
          patched(K, "_axis_weights_chunk", const_weights):
         rows.append(("A -stress -weights", timeit(run_a, null=null)))
 
+    def no_dp_svd(pp, phase, f, pdd, ph, lvg, usv):
+        return f, pdd, ph, lvg, usv[1]
+
+    def fake_svd(f):
+        # Structure-preserving stub: removes the Jacobi/eigen work but keeps
+        # every downstream consumer (DP projection, energy, stress epilogue).
+        d = len(f)
+        one = jnp.ones_like(f[0][0])
+        zero = jnp.zeros_like(one)
+        eye = [[one if i == j else zero for j in range(d)] for i in range(d)]
+        return eye, [one] * d, [r[:] for r in eye]
+
     rows.append(("B full", timeit(run_b, null=null)))
+    import importlib
+    svd_mod = importlib.import_module("sparkl_tpu.math.svd")
+    prev = svd_mod.set_eig3_method("cardano")
+    try:
+        rows.append(("B cardano-svd", timeit(run_b, null=null)))
+    finally:
+        svd_mod.set_eig3_method(prev)
+    with patched(K, "svd_c", fake_svd), \
+         patched(plas, "drucker_prager_update_with_svd_c", no_dp_svd):
+        rows.append(("B -svd -dp", timeit(run_b, null=null)))
+    with patched(K, "svd_c", fake_svd):
+        rows.append(("B -svd", timeit(run_b, null=null)))
     with patched(plas, "drucker_prager_update_c", no_dp), \
+         patched(plas, "drucker_prager_update_with_svd_c", no_dp_svd), \
          patched(plas, "nacc_update_c", no_nacc):
         rows.append(("B -plasticity", timeit(run_b, null=null)))
     with patched(K, "_axis_weights_chunk", const_weights):

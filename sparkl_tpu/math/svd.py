@@ -31,6 +31,23 @@ import jax.numpy as jnp
 # pathological inputs at ~40% less Jacobi work than the previous 7.
 _JACOBI_SWEEPS = 4
 
+# 3x3 eigensolver backend for svd3x3_c: "jacobi" (iterative, most accurate)
+# or "cardano" (closed-form trig eigenvalues + cross-product eigenvectors —
+# ~2x fewer VPU ops; the in-kernel SVD is the dominant per-particle cost).
+# Switch with set_eig3_method; per-call override via svd3x3_c(f, method=...).
+_EIG3_METHOD = "jacobi"
+
+
+def set_eig3_method(method: str):
+    """Select the 3x3 symmetric-eigensolver backend ("jacobi"/"cardano")
+    used by svd3x3 / svd_c. Returns the previous setting."""
+    global _EIG3_METHOD
+    if method not in ("jacobi", "cardano"):
+        raise ValueError(method)
+    prev = _EIG3_METHOD
+    _EIG3_METHOD = method
+    return prev
+
 
 def svd2x2(f):
     """SVD of [..., 2, 2] matrices. Returns (u, s, v) with f = u @ diag(s) @ v^T.
@@ -116,9 +133,179 @@ def svd3x3(f):
     return stack(u), jnp.stack(s, axis=-1), stack(v)
 
 
-def svd3x3_c(f):
+def _cos_acos3(r):
+    """cos(acos(r)/3) for r in [-1, 1] WITHOUT acos (Mosaic lowers cos/sin
+    but not acos/atan): the value is the root of 4x^3 - 3x = r in [1/2, 1] —
+    a degree-4 polynomial seed in u = sqrt(1+r) (smooth through the r = -1
+    branch point) + 2 clamped Newton steps. f32-exact except at the double
+    root r = -1 itself (~2e-5, the clustered-eigenvalue case the invariant
+    refinement absorbs)."""
+    u = jnp.sqrt(jnp.maximum(r + 1.0, 0.0))
+    x = 0.500019159 + u * (
+        0.407814278 + u * (-0.0531768362 + u * (0.0135525949 + u * -0.00218724162))
+    )
+    x = jnp.clip(x, 0.5, 1.0)
+    for _ in range(2):
+        g = 4.0 * x * x * x - 3.0 * x - r
+        gp = jnp.maximum(12.0 * x * x - 3.0, 0.075)
+        x = jnp.clip(x - g / gp, 0.5, 1.0)
+    return x
+
+
+def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
+    """Closed-form eigendecomposition of a symmetric 3x3 (components already
+    scale-normalized): eigenvalues by the trigonometric Cardano formula,
+    eigenvectors by max-norm row cross products of (A - lambda I) anchored at
+    the better-separated end of the spectrum (clustered eigenvalues have
+    ill-conditioned individual eigenvectors but any orthonormal basis of the
+    cluster subspace is equally valid — the Gram-Schmidt fallbacks pick one).
+    Returns ([l0, l1, l2] descending, cols = [v0, v1, v2] as 3-tuples)."""
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
+        a01 * a01 + a02 * a02 + a12 * a12
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    p_ok = p > 1e-30
+    pinv = jnp.where(p_ok, 1.0 / jnp.where(p_ok, p, 1.0), 0.0)
+    # r = det(B)/2 with B = (A - qI)/p, clamped into acos range.
+    c00, c11, c22 = b00 * pinv, b11 * pinv, b22 * pinv
+    c01, c02, c12 = a01 * pinv, a02 * pinv, a12 * pinv
+    detb = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(0.5 * detb, -1.0, 1.0)
+    cphi = _cos_acos3(r)
+    sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))  # phi in [0, pi/3]
+    l0 = q + 2.0 * p * cphi
+    # cos(phi + 2pi/3) = -cphi/2 - sphi*sqrt(3)/2
+    l2 = q + 2.0 * p * (-0.5 * cphi - 0.8660254037844386 * sphi)
+    l1 = 3.0 * q - l0 - l2
+
+    # Invariant refinement: the trig formula loses the SMALL eigenvalues to
+    # f32 cancellation when the spectrum spans orders of magnitude (they come
+    # out as differences of O(q) quantities). l0 is always accurate; recover
+    # l2 from the determinant (l0*l1*l2 = det A, a well-conditioned product)
+    # and l1 from the second invariant (l0*l1 + l0*l2 + l1*l2 = I2), then
+    # re-refine l2. Skipped where denominators are degenerate.
+    i2 = (
+        a00 * a11 - a01 * a01
+        + a00 * a22 - a02 * a02
+        + a11 * a22 - a12 * a12
+    )
+    i3 = (
+        a00 * (a11 * a22 - a12 * a12)
+        - a01 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * a12 - a11 * a02)
+    )
+    tiny = 1e-30
+
+    def _refine_l2(l1v):
+        den = l0 * l1v
+        ok = den > tiny
+        out = jnp.clip(i3 / jnp.where(ok, den, 1.0), 0.0, l1v)
+        return jnp.where(ok, out, jnp.maximum(l2, 0.0))
+
+    l2r = _refine_l2(jnp.maximum(l1, 0.0))
+    den1 = l0 + l2r
+    ok1 = den1 > tiny
+    l1r = jnp.clip(
+        (i2 - l0 * l2r) / jnp.where(ok1, den1, 1.0), l2r, l0
+    )
+    l1 = jnp.where(ok1, l1r, jnp.maximum(l1, 0.0))
+    l2 = _refine_l2(l1)
+
+    def row_cross_null(l):
+        """Max-norm cross product of rows of (A - l I) — the null direction
+        when the matrix has rank 2."""
+        m00, m11, m22 = a00 - l, a11 - l, a22 - l
+        r0 = (m00, a01, a02)
+        r1 = (a01, m11, a12)
+        r2 = (a02, a12, m22)
+
+        def cross(x, y):
+            return (
+                x[1] * y[2] - x[2] * y[1],
+                x[2] * y[0] - x[0] * y[2],
+                x[0] * y[1] - x[1] * y[0],
+            )
+
+        c01_, c02_, c12_ = cross(r0, r1), cross(r0, r2), cross(r1, r2)
+
+        def n2(x):
+            return x[0] * x[0] + x[1] * x[1] + x[2] * x[2]
+
+        n01, n02, n12 = n2(c01_), n2(c02_), n2(c12_)
+        use02 = n02 > n01
+        best = tuple(jnp.where(use02, c02_[i], c01_[i]) for i in range(3))
+        bestn = jnp.where(use02, n02, n01)
+        use12 = n12 > bestn
+        best = tuple(jnp.where(use12, c12_[i], best[i]) for i in range(3))
+        bestn = jnp.where(use12, n12, bestn)
+        return best, bestn
+
+    cand_t, _ = row_cross_null(l0)
+    cand_b, _ = row_cross_null(l2)
+    use_top = (l0 - l1) >= (l1 - l2)
+    anchor_raw = tuple(jnp.where(use_top, cand_t[i], cand_b[i]) for i in range(3))
+    other_raw = tuple(jnp.where(use_top, cand_b[i], cand_t[i]) for i in range(3))
+
+    eps = 1e-20
+
+    def normalize(x):
+        n2v = x[0] * x[0] + x[1] * x[1] + x[2] * x[2]
+        good = n2v > eps
+        inv = jnp.where(good, jax.lax.rsqrt(jnp.where(good, n2v, 1.0)), 0.0)
+        return tuple(xi * inv for xi in x), good
+
+    anchor, a_good = normalize(anchor_raw)
+    anchor = (
+        jnp.where(a_good, anchor[0], one),
+        jnp.where(a_good, anchor[1], zero),
+        jnp.where(a_good, anchor[2], zero),
+    )
+    dot = sum(o * a for o, a in zip(other_raw, anchor))
+    other_o = tuple(o - dot * a for o, a in zip(other_raw, anchor))
+    other, o_good = normalize(other_o)
+    # Fallback: unit vector orthogonal to anchor via the least-aligned axis.
+    au = (jnp.abs(anchor[0]), jnp.abs(anchor[1]), jnp.abs(anchor[2]))
+    pick0 = (au[0] <= au[1]) & (au[0] <= au[2])
+    pick1 = (~pick0) & (au[1] <= au[2])
+    e = (
+        jnp.where(pick0, one, zero),
+        jnp.where(pick1, one, zero),
+        jnp.where(pick0 | pick1, zero, one),
+    )
+    fb = (
+        anchor[1] * e[2] - anchor[2] * e[1],
+        anchor[2] * e[0] - anchor[0] * e[2],
+        anchor[0] * e[1] - anchor[1] * e[0],
+    )
+    fb, _ = normalize(fb)
+    other = tuple(jnp.where(o_good, other[i], fb[i]) for i in range(3))
+
+    # Middle column = cross of the outer two, signed so det(V) = +1 in both
+    # orderings (det[a, a x o, o] = -1 but det[a, o x a, o] = +1).
+    ms = jnp.where(use_top, -1.0, 1.0)
+    mid = (
+        ms * (anchor[1] * other[2] - anchor[2] * other[1]),
+        ms * (anchor[2] * other[0] - anchor[0] * other[2]),
+        ms * (anchor[0] * other[1] - anchor[1] * other[0]),
+    )
+    v0 = tuple(jnp.where(use_top, anchor[i], other[i]) for i in range(3))
+    v2 = tuple(jnp.where(use_top, other[i], anchor[i]) for i in range(3))
+    return [l0, l1, l2], [v0, mid, v2]
+
+
+def svd3x3_c(f, method=None):
     """Component-wise SVD core on a nested-list 3x3 matrix (same math as
-    svd3x3; usable inside Pallas kernels)."""
+    svd3x3; usable inside Pallas kernels). `method` overrides the module
+    eigensolver backend ("jacobi"/"cardano", see set_eig3_method)."""
     f00, f01, f02 = f[0][0], f[0][1], f[0][2]
     f10, f11, f12 = f[1][0], f[1][1], f[1][2]
     f20, f21, f22 = f[2][0], f[2][1], f[2][2]
@@ -137,6 +324,12 @@ def svd3x3_c(f):
     inv_scale = 1.0 / scale
     a00, a11, a22 = a00 * inv_scale, a11 * inv_scale, a22 * inv_scale
     a01, a02, a12 = a01 * inv_scale, a02 * inv_scale, a12 * inv_scale
+
+    if (method or _EIG3_METHOD) == "cardano":
+        lam, vcols = _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22)
+        sig2 = [jnp.maximum(l, 0.0) * scale for l in lam]  # already descending
+        cols = [list(v) for v in vcols]
+        return _svd3x3_from_eig(f, sig2, cols)
 
     one = jnp.ones_like(a00)
     zero = jnp.zeros_like(a00)
@@ -223,6 +416,17 @@ def svd3x3_c(f):
     cswap(0, 1)
     cswap(0, 2)
     cswap(1, 2)
+
+    return _svd3x3_from_eig(f, sig2, cols)
+
+
+def _svd3x3_from_eig(f, sig2, cols):
+    """Shared SVD tail: sigma = sqrt(eig), robust U construction from F @ v_k
+    with orthonormal fallbacks for (near-)singular F. `cols` = descending
+    eigenvector columns of F^T F."""
+    f00, f01, f02 = f[0][0], f[0][1], f[0][2]
+    f10, f11, f12 = f[1][0], f[1][1], f[1][2]
+    f20, f21, f22 = f[2][0], f[2][1], f[2][2]
 
     s0 = jnp.sqrt(sig2[0])
     s1 = jnp.sqrt(sig2[1])

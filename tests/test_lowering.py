@@ -158,3 +158,27 @@ def test_bf16_transfer_dtype_lowers_and_stays_close():
         ),
         state.slots, state.ints, win, dt,
     )
+
+
+def test_g2p_cardano_svd_lowers_for_tpu():
+    """Kernel B with the closed-form Cardano eigensolver must lower through
+    Mosaic (it exists because acos/atan do NOT lower — the solver uses a
+    polynomial-seeded Newton iterate instead, math/svd.py _cos_acos3)."""
+    import importlib
+
+    svd_mod = importlib.import_module("sparkl_tpu.math.svd")
+    grid, cfg, state, tab_f, tab_i, meta = _setup(3, False)
+    meta = dict(meta, stress_cache=True)
+    dt = jnp.asarray(1e-3)
+    win = jnp.zeros((cfg.max_chunks, 3, region_cells(3)), jnp.float32)
+    params = dict(gpu_velocity_clamp=False)
+    prev = svd_mod.set_eig3_method("cardano")
+    try:
+        _lower(
+            lambda s, i, w, d: K.g2p_fused(
+                grid, cfg, meta, params, s, i, w, d, tab_f, tab_i
+            ),
+            state.slots, state.ints, win, dt,
+        )
+    finally:
+        svd_mod.set_eig3_method(prev)

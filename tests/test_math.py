@@ -249,3 +249,44 @@ def test_native_host_runtime():
     uniq, cnt = np.unique(key, return_counts=True)
     assert n_blocks == len(uniq)
     assert n_chunks == int(np.sum(-(-cnt // 128)))
+
+
+@pytest.mark.parametrize("family", ["random", "near_identity", "special", "inverted"])
+def test_svd3x3_cardano_backend(family):
+    """The closed-form Cardano eigensolver backend (set_eig3_method) must
+    satisfy the same SVD contract as the Jacobi default — it exists because
+    the in-kernel SVD is the dominant per-particle VPU cost."""
+    import importlib
+
+    _svd_mod = importlib.import_module("sparkl_tpu.math.svd")
+
+    rng = np.random.default_rng(11)
+    if family == "random":
+        f = rng.normal(size=(256, 3, 3)).astype(np.float32)
+        atol = 1e-3
+    elif family == "near_identity":
+        f = (np.eye(3) + 0.1 * rng.normal(size=(512, 3, 3))).astype(np.float32)
+        atol = 2e-4
+    elif family == "special":
+        f = np.stack(
+            [
+                np.eye(3), np.zeros((3, 3)), np.diag([1.0, 1.0, -1.0]),
+                np.diag([2.0, 1.0, 0.0]), np.diag([5.0, 0.0, 0.0]),
+                np.diag([1e-3, 1.0, 1e3]),
+            ]
+        ).astype(np.float32)
+        atol = 5e-3
+    else:
+        f = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        atol = 1e-3
+
+    prev = _svd_mod.set_eig3_method("cardano")
+    try:
+        u, s, v = svd3x3(jnp.asarray(f))
+    finally:
+        _svd_mod.set_eig3_method(prev)
+    _check_svd(f, u, s, v, atol)
+    if family == "inverted":
+        detf = np.linalg.det(f)
+        sign = np.linalg.det(np.asarray(u)) * np.linalg.det(np.asarray(v))
+        np.testing.assert_allclose(sign, np.sign(detf), atol=1e-3)
