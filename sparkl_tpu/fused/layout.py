@@ -430,116 +430,145 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
     occupied = (flags & OCCUPIED) != 0
     active = occupied & ((flags & ACTIVE) != 0)
 
-    structure, sort_order, chunk_start = S.build_slot_structure(
+    # Chunk-relabel fast path: when the stable sort of the new keys would
+    # reproduce the current slot order verbatim (the common coherent-motion
+    # resort — a uniform fall shifts every key by the same block offset),
+    # the ENTIRE sorted rebuild is skipped: no global [D*C] lax.sort, no
+    # source extraction, no permute — the new structure is derived from the
+    # D per-chunk keys alone and the slot tensors change only in the drift /
+    # origin rows. Detection is O(D*C) elementwise.
+    key_eff = S.slot_key_rows(
         grid, cfg, pos, active, occupied
     )
-    # Per-destination-chunk source slots: chunk j's slice
-    # sort_order[start_j : start_j + C] spans exactly two rows of the
-    # [D, C]-shaped order; gather those (a cheap row gather) and apply the
-    # per-chunk lane shift inside a kernel. Slot indices exceed f32's exact
-    # integer range only past 16M slots — fall back to the elementwise slice
-    # there.
-    start = jnp.minimum(chunk_start, jnp.int32(d_ * c - c))
-    if d_ * c < (1 << 24):
-        ord2d = sort_order.reshape(d_, c)
-        r0 = start // c
-        g2 = ord2d[
-            jnp.stack([r0, jnp.minimum(r0 + 1, d_ - 1)], axis=1).reshape(-1)
-        ].reshape(d_, 2, c)
-        src = K2.src_rows_from_order(
-            cfg, g2, start % c, interpret=interpret, vma=vma
-        )[:, 0, :]
-    else:
-        src = jax.vmap(lambda s: jax.lax.dynamic_slice(sort_order, (s,), (c,)))(
-            start
-        )  # [D, C]
-    lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
-    valid = lanes < structure.chunk_count[:, None]
-
-    sentinel = jnp.int32(2**30)
-    src_chunk = jnp.where(valid, src // c, sentinel)
-    src_lane = jnp.where(valid, src % c, 0)
-
-    # Pure chunk relabeling: under coherent motion the stable sort over
-    # uniformly shifted keys preserves slot order — every destination chunk
-    # is an in-order copy of exactly one source chunk (lane i comes from
-    # lane i of one chunk). Then the whole permute collapses to ONE
-    # chunk-row gather, and — just as important — the per-chunk source
-    # analysis below (row sort, run compaction, one-hot targets, ~half of
-    # resort cost) is skipped entirely via lax.cond. Lane 0 is valid
-    # whenever any lane is (valid is a prefix mask), so src[:, 0] names the
-    # single source chunk.
-    first_chunk = src[:, 0] // c
-    pure_relabel = jnp.all(
-        jnp.where(
-            valid,
-            (src_lane == lanes) & (src_chunk == first_chunk[:, None]),
-            True,
-        )
+    occ2 = occupied.reshape(d_, c)
+    relabel_ok, ckey, occ_count = S.detect_chunk_relabel(
+        grid, cfg, key_eff, occ2
     )
 
-    def _finalize(slots, ints):
-        slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
-        return slots, _write_origin_rows(ints, structure, dim)
+    def relabel(_):
+        structure = S.structure_from_chunk_keys(grid, cfg, ckey, occ_count)
+        # Zero pad lanes (kernel B leaves identity-F debris there) so both
+        # resort paths restore the same "pads are zero" invariant bit-exactly.
+        om = occ2[:, None, :]
+        slots = jnp.where(om, state.slots, 0.0).at[:, r.cumd, :].set(0.0)
+        ints = _write_origin_rows(
+            jnp.where(om, state.ints, 0), structure, dim
+        )
+        return slots, ints, structure
 
-    def pure(_):
-        ids0 = jnp.clip(first_chunk, 0, d_ - 1)
-        vm = valid[:, None, :]
-        return _finalize(
-            jnp.where(vm, state.slots[ids0], 0.0),
-            jnp.where(vm, state.ints[ids0], 0),
+    def rebuild(_):
+        structure, sort_order, chunk_start = S.build_slot_structure(
+            grid, cfg, pos, active, occupied
+        )
+        # Per-destination-chunk source slots: chunk j's slice
+        # sort_order[start_j : start_j + C] spans exactly two rows of the
+        # [D, C]-shaped order; gather those (a cheap row gather) and apply
+        # the per-chunk lane shift inside a kernel. Slot indices exceed
+        # f32's exact integer range only past 16M slots — fall back to the
+        # elementwise slice there.
+        start = jnp.minimum(chunk_start, jnp.int32(d_ * c - c))
+        if d_ * c < (1 << 24):
+            ord2d = sort_order.reshape(d_, c)
+            r0 = start // c
+            g2 = ord2d[
+                jnp.stack([r0, jnp.minimum(r0 + 1, d_ - 1)], axis=1).reshape(-1)
+            ].reshape(d_, 2, c)
+            src = K2.src_rows_from_order(
+                cfg, g2, start % c, interpret=interpret, vma=vma
+            )[:, 0, :]
+        else:
+            src = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(sort_order, (s,), (c,))
+            )(start)  # [D, C]
+        lanes = jnp.arange(c, dtype=jnp.int32)[None, :]
+        valid = lanes < structure.chunk_count[:, None]
+
+        sentinel = jnp.int32(2**30)
+        src_chunk = jnp.where(valid, src // c, sentinel)
+        src_lane = jnp.where(valid, src % c, 0)
+
+        # Pure chunk relabeling WITH reorder: every destination chunk is an
+        # in-order copy of exactly one source chunk (lane i from lane i),
+        # but chunks may have swapped places (else the relabel fast path
+        # above would have taken it). One chunk-row gather; the per-chunk
+        # source analysis in mixed() is skipped via lax.cond. Lane 0 is
+        # valid whenever any lane is (valid is a prefix mask), so src[:, 0]
+        # names the single source chunk.
+        first_chunk = src[:, 0] // c
+        pure_relabel = jnp.all(
+            jnp.where(
+                valid,
+                (src_lane == lanes) & (src_chunk == first_chunk[:, None]),
+                True,
+            )
         )
 
-    def mixed(_):
-        # Per-destination-chunk unique source chunks (row-sorted run
-        # compaction) -> gathered-source index per lane.
-        sc_sorted = jnp.sort(src_chunk, axis=1)
-        prev = jnp.concatenate(
-            [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
-        )
-        flag = (sc_sorted != prev) & (sc_sorted < sentinel)
-        rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
-        kr = jnp.arange(k_src, dtype=jnp.int32)
-        onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
-        uniq = jnp.sum(
-            jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1
-        )  # [D, K]
-        nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
-        uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
-        k_overflow = jnp.any(nuniq > k_src)
+        def _finalize(slots, ints):
+            slots = slots.at[:, r.cumd, :].set(0.0)  # drift resets at a sort
+            return slots, _write_origin_rows(ints, structure, dim)
 
-        eq = src_chunk[:, :, None] == uniq[:, None, :]  # [D, C, K]
-        k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
-        has = jnp.any(eq, axis=-1) & valid
-        target = jnp.where(has, k_of * c + src_lane, k_src * c)
-
-        def fast(_):
-            # In-kernel DMA of each destination's (typically 1-3) source
-            # chunks straight from HBM — no 8x-padded XLA pre-gather, and
-            # the drift/origin finalization happens in the same kernel
-            # (the .at[].set() versions copied the whole slot tensor twice).
-            return K2.permute_chunks_dma(
-                cfg, state.slots, state.ints, uniq, target,
-                structure.chunk_origin, r.cumd,
-                interpret=interpret, vma=vma,
-            )
-
-        def slow(_):
-            big = jnp.concatenate(
-                [state.slots, _ints_to_f32(state.ints)], axis=1
-            )
-            f_all = big.shape[1]
-            flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
-            sflat = jnp.where(valid, src, 0).reshape(-1)
-            nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
-            newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+        def pure(_):
+            ids0 = jnp.clip(first_chunk, 0, d_ - 1)
+            vm = valid[:, None, :]
             return _finalize(
-                newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+                jnp.where(vm, state.slots[ids0], 0.0),
+                jnp.where(vm, state.ints[ids0], 0),
             )
 
-        return jax.lax.cond(k_overflow, slow, fast, None)
+        def mixed(_):
+            # Per-destination-chunk unique source chunks (row-sorted run
+            # compaction) -> gathered-source index per lane.
+            sc_sorted = jnp.sort(src_chunk, axis=1)
+            prev = jnp.concatenate(
+                [jnp.full((d_, 1), -1, jnp.int32), sc_sorted[:, :-1]], axis=1
+            )
+            flag = (sc_sorted != prev) & (sc_sorted < sentinel)
+            rank = jnp.cumsum(flag.astype(jnp.int32), axis=1) - 1
+            kr = jnp.arange(k_src, dtype=jnp.int32)
+            onehot = (rank[:, :, None] == kr[None, None, :]) & flag[:, :, None]
+            uniq = jnp.sum(
+                jnp.where(onehot, sc_sorted[:, :, None], 0), axis=1
+            )  # [D, K]
+            nuniq = jnp.sum(flag.astype(jnp.int32), axis=1)
+            uniq = jnp.where(kr[None, :] < nuniq[:, None], uniq, -1)
+            k_overflow = jnp.any(nuniq > k_src)
 
-    slots, ints = jax.lax.cond(pure_relabel, pure, mixed, None)
+            eq = src_chunk[:, :, None] == uniq[:, None, :]  # [D, C, K]
+            k_of = jnp.sum(jnp.where(eq, kr[None, None, :], 0), axis=-1)
+            has = jnp.any(eq, axis=-1) & valid
+            target = jnp.where(has, k_of * c + src_lane, k_src * c)
+
+            def fast(_):
+                # In-kernel DMA of each destination's (typically 1-3) source
+                # chunks straight from HBM — no 8x-padded XLA pre-gather, and
+                # the drift/origin finalization happens in the same kernel
+                # (the .at[].set() versions copied the whole slot tensor
+                # twice).
+                return K2.permute_chunks_dma(
+                    cfg, state.slots, state.ints, uniq, target,
+                    structure.chunk_origin, r.cumd,
+                    interpret=interpret, vma=vma,
+                )
+
+            def slow(_):
+                big = jnp.concatenate(
+                    [state.slots, _ints_to_f32(state.ints)], axis=1
+                )
+                f_all = big.shape[1]
+                flat = jnp.moveaxis(big, 1, 2).reshape(-1, f_all)
+                sflat = jnp.where(valid, src, 0).reshape(-1)
+                nf = jnp.where(valid.reshape(-1)[:, None], flat[sflat], 0.0)
+                newbig = jnp.moveaxis(nf.reshape(d_, c, f_all), 1, 2)
+                return _finalize(
+                    newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
+                )
+
+            return jax.lax.cond(k_overflow, slow, fast, None)
+
+        slots, ints = jax.lax.cond(pure_relabel, pure, mixed, None)
+        return slots, ints, structure
+
+    slots, ints, structure = jax.lax.cond(relabel_ok, relabel, rebuild, None)
 
     overflow = (
         (structure.num_blocks > cfg.max_blocks)

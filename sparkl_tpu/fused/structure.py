@@ -89,6 +89,62 @@ def particle_block_key_ob2(grid: GridParams, position, valid):
     return jnp.where(ok, key, sentinel), ok
 
 
+def _decode_block_coords(block_keys, bspace):
+    """Linear ob2 keys -> [*, d] block coordinates (sentinel rows decode to
+    out-of-space garbage the callers mask)."""
+    dim = len(bspace)
+    strides = np.ones(dim, np.int32)
+    for ax in range(dim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * bspace[ax + 1]
+    coords = []
+    rem = block_keys
+    for ax in range(dim):
+        coords.append(rem // int(strides[ax]))
+        rem = rem % int(strides[ax])
+    return jnp.stack(coords, axis=-1), strides
+
+
+def _grid_tables(cfg: BlockConfig, block_keys, bspace, dim):
+    """Grid-storage blocks (owners + 2^d upper corners, ref: gpu_grid.rs
+    blocks_associated_to_point) + the searchsorted neighbor index, derived
+    from sorted block keys. Shared by the full rebuild and the chunk-relabel
+    fast path. Returns (coords, grid_keys, num_grid_blocks, nbr_index)."""
+    sentinel = jnp.int32(np.prod(bspace))
+    corners = np.stack(
+        np.meshgrid(*([[0, 1]] * dim), indexing="ij"), axis=-1
+    ).reshape(-1, dim)
+    coords, strides = _decode_block_coords(block_keys, bspace)
+    nbr_coords = coords[:, None, :] + jnp.asarray(corners, jnp.int32)[None, :, :]
+    in_space = (
+        jnp.all(nbr_coords < jnp.asarray(bspace, jnp.int32), axis=-1)
+        & jnp.all(nbr_coords >= 0, axis=-1)
+        & (block_keys < sentinel)[:, None]
+    )
+    nbr_keys = (nbr_coords * jnp.asarray(strides, jnp.int32)[None, None, :]).sum(-1)
+    nbr_keys = jnp.where(in_space, nbr_keys, sentinel).reshape(-1)
+
+    cand_sorted = jnp.sort(nbr_keys)
+    cand_prev = jnp.concatenate(
+        [jnp.full((1,), -1, cand_sorted.dtype), cand_sorted[:-1]]
+    )
+    cand_flag = (cand_sorted != cand_prev) & (cand_sorted < sentinel)
+    grid_keys, num_grid_blocks = _compact_flagged(
+        cand_sorted, cand_flag, cfg.max_grid_blocks, sentinel
+    )
+
+    found = jnp.searchsorted(grid_keys, nbr_keys, side="left").astype(jnp.int32)
+    found = jnp.clip(found, 0, cfg.max_grid_blocks - 1)
+    hit = (grid_keys[found] == nbr_keys) & (nbr_keys < sentinel)
+    nbr_index = jnp.where(hit, found, cfg.max_grid_blocks).reshape(
+        cfg.max_blocks, 2**dim
+    )
+    # Extra trash row for tail/pad chunks (chunk_block == MAX_BLOCKS).
+    nbr_index = jnp.concatenate(
+        [nbr_index, jnp.full((1, 2**dim), cfg.max_grid_blocks, jnp.int32)], axis=0
+    )
+    return coords, grid_keys, num_grid_blocks, nbr_index
+
+
 def build_slot_structure(
     grid: GridParams, cfg: BlockConfig, position, valid, occupied
 ):
@@ -124,47 +180,8 @@ def build_slot_structure(
     next_start = jnp.minimum(next_start, num_valid)
     block_count = jnp.maximum(next_start - jnp.minimum(block_start, num_valid), 0)
 
-    # Grid-storage blocks: owners + 2^d upper corners (ref: gpu_grid.rs
-    # blocks_associated_to_point), in ob2 space.
-    corners = np.stack(
-        np.meshgrid(*([[0, 1]] * dim), indexing="ij"), axis=-1
-    ).reshape(-1, dim)
-    strides = np.ones(dim, np.int32)
-    for ax in range(dim - 2, -1, -1):
-        strides[ax] = strides[ax + 1] * bspace[ax + 1]
-    coords = []
-    rem = block_keys
-    for ax in range(dim):
-        coords.append(rem // int(strides[ax]))
-        rem = rem % int(strides[ax])
-    coords = jnp.stack(coords, axis=-1)  # [MAX_BLOCKS, d]
-    nbr_coords = coords[:, None, :] + jnp.asarray(corners, jnp.int32)[None, :, :]
-    in_space = (
-        jnp.all(nbr_coords < jnp.asarray(bspace, jnp.int32), axis=-1)
-        & jnp.all(nbr_coords >= 0, axis=-1)
-        & (block_keys < sentinel)[:, None]
-    )
-    nbr_keys = (nbr_coords * jnp.asarray(strides, jnp.int32)[None, None, :]).sum(-1)
-    nbr_keys = jnp.where(in_space, nbr_keys, sentinel).reshape(-1)
-
-    cand_sorted = jnp.sort(nbr_keys)
-    cand_prev = jnp.concatenate(
-        [jnp.full((1,), -1, cand_sorted.dtype), cand_sorted[:-1]]
-    )
-    cand_flag = (cand_sorted != cand_prev) & (cand_sorted < sentinel)
-    grid_keys, num_grid_blocks = _compact_flagged(
-        cand_sorted, cand_flag, cfg.max_grid_blocks, sentinel
-    )
-
-    found = jnp.searchsorted(grid_keys, nbr_keys, side="left").astype(jnp.int32)
-    found = jnp.clip(found, 0, cfg.max_grid_blocks - 1)
-    hit = (grid_keys[found] == nbr_keys) & (nbr_keys < sentinel)
-    nbr_index = jnp.where(hit, found, cfg.max_grid_blocks).reshape(
-        cfg.max_blocks, 2**dim
-    )
-    # Extra trash row for tail/pad chunks (chunk_block == MAX_BLOCKS).
-    nbr_index = jnp.concatenate(
-        [nbr_index, jnp.full((1, 2**dim), cfg.max_grid_blocks, jnp.int32)], axis=0
+    coords, grid_keys, num_grid_blocks, nbr_index = _grid_tables(
+        cfg, block_keys, bspace, dim
     )
 
     # Valid chunks (<= C particles of one block) followed by tail chunks.
@@ -219,6 +236,121 @@ def build_slot_structure(
         num_chunks=num_chunks,
     )
     return structure, sort_order, chunk_start
+
+
+def slot_key_rows(grid: GridParams, cfg: BlockConfig, position, valid, occupied):
+    """Effective sort keys of a slot population, in slot layout [D, C]
+    (exactly the keys build_slot_structure would sort: linear ob2 block key
+    for valid slots, sentinel for occupied-but-out-of-grid tails,
+    sentinel + 1 for empty lanes)."""
+    bspace = block_space_ob2(grid)
+    sentinel = jnp.int32(np.prod(bspace))
+    key, _ = particle_block_key_ob2(grid, position, valid)
+    key = jnp.where(valid, key, jnp.where(occupied, sentinel, sentinel + 1))
+    return key.reshape(cfg.max_chunks, cfg.chunk_size)
+
+
+def detect_chunk_relabel(grid: GridParams, cfg: BlockConfig, key_eff, occupied):
+    """Can this resort skip the global slot sort entirely?
+
+    True when the stable sort of the new keys would reproduce the CURRENT
+    slot order verbatim — then no particle moves and the whole resort is a
+    pure relabeling of chunks to (shifted) blocks, with the structure
+    derivable from the D per-chunk keys alone (structure_from_chunk_keys).
+    The conditions (each necessary for order preservation, jointly
+    sufficient):
+
+      1. every chunk is homogeneous: all occupied lanes share one key, and
+         lane 0 is occupied whenever any lane is (no split chunks);
+      2. occupied lanes form a prefix (the chunk_count contract);
+      3. chunk keys are non-decreasing across the chunk sequence (empty
+         chunks count as sentinel + 1, so valid < tail < empty order holds);
+      4. adjacent chunks with EQUAL non-empty keys require the left chunk
+         full — a partial chunk mid-block would be repacked by the rebuild.
+
+    This is the common coherent-motion resort (uniform fall shifts every key
+    by the same block offset); incoherent resorts fall back to the sorted
+    rebuild. Returns (ok [] bool, chunk_key [D] i32, occ_count [D] i32)."""
+    c = cfg.chunk_size
+    bspace = block_space_ob2(grid)
+    sentinel = jnp.int32(np.prod(bspace))
+
+    occ_any = jnp.any(occupied, axis=1)
+    occ_count = jnp.sum(occupied.astype(jnp.int32), axis=1)
+    lane0 = key_eff[:, 0]
+    homog = jnp.all(
+        jnp.where(occupied, key_eff == lane0[:, None], True), axis=1
+    ) & (occupied[:, 0] | ~occ_any)
+    occ_i = occupied.astype(jnp.int32)
+    prefix = jnp.all(occ_i[:, :-1] >= occ_i[:, 1:], axis=1)
+    ckey = jnp.where(occ_any, lane0, sentinel + 1)
+    mono = jnp.all(ckey[:-1] <= ckey[1:])
+    full_rule = jnp.all(
+        (ckey[:-1] != ckey[1:]) | (ckey[:-1] > sentinel) | (occ_count[:-1] == c)
+    )
+    ok = jnp.all(homog & prefix) & mono & full_rule
+    return ok, ckey, occ_count
+
+
+def structure_from_chunk_keys(grid: GridParams, cfg: BlockConfig, ckey, occ_count):
+    """SlotStructure for a kept slot layout, from per-chunk keys alone.
+
+    Valid ONLY when detect_chunk_relabel passed: chunks keep their particles
+    and their order, so blocks are the runs of equal chunk keys — no global
+    sort, no per-slot work. Field-for-field identical to what
+    build_slot_structure would produce for the same population (the sorted
+    rebuild of an already-sorted population is the identity)."""
+    dim = grid.dim
+    d_ = cfg.max_chunks
+    bspace = block_space_ob2(grid)
+    sentinel = jnp.int32(np.prod(bspace))
+
+    is_valid_chunk = ckey < sentinel
+    is_tail_chunk = ckey == sentinel
+    num_chunks = jnp.sum((is_valid_chunk | is_tail_chunk).astype(jnp.int32))
+    num_valid_chunks = jnp.sum(is_valid_chunk.astype(jnp.int32))
+
+    prev = jnp.concatenate([jnp.full((1,), -1, ckey.dtype), ckey[:-1]])
+    newblk = (ckey != prev) & is_valid_chunk
+    block_keys, num_blocks = _compact_flagged(
+        ckey, newblk, cfg.max_blocks, sentinel
+    )
+    cid = jnp.arange(d_, dtype=jnp.int32)
+    block_first_chunk, _ = _compact_flagged(
+        cid, newblk, cfg.max_blocks, num_valid_chunks
+    )
+    nxt = jnp.concatenate(
+        [block_first_chunk[1:], num_valid_chunks[None].astype(jnp.int32)]
+    )
+    block_num_chunks = jnp.maximum(nxt - block_first_chunk, 0)
+
+    runidx = jnp.cumsum(newblk.astype(jnp.int32)) - 1
+    chunk_block = jnp.where(
+        is_valid_chunk, jnp.clip(runidx, 0, cfg.max_blocks - 1), cfg.max_blocks
+    )
+
+    coords, grid_keys, num_grid_blocks, nbr_index = _grid_tables(
+        cfg, block_keys, bspace, dim
+    )
+
+    ck_coords, _ = _decode_block_coords(ckey, bspace)
+    chunk_origin = jnp.where(
+        is_valid_chunk[:, None], (ck_coords - 1) * BLOCK_SIDE, 0
+    ).astype(jnp.int32)
+
+    return SlotStructure(
+        block_keys=block_keys,
+        grid_keys=grid_keys,
+        nbr_index=nbr_index,
+        chunk_block=chunk_block,
+        chunk_count=occ_count,
+        chunk_origin=chunk_origin,
+        block_first_chunk=block_first_chunk,
+        block_num_chunks=block_num_chunks,
+        num_blocks=num_blocks,
+        num_grid_blocks=num_grid_blocks,
+        num_chunks=num_chunks,
+    )
 
 
 def slot_source_index(cfg: BlockConfig, sort_order, chunk_start, chunk_count):

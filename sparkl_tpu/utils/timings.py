@@ -219,12 +219,15 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
 class ResortTimings:
     """Per-stage breakdown of one fused-path resort, milliseconds.
 
+    relabel = the sort-free fast path (key check + structure from chunk
+    keys + drift/origin finalize) taken on coherent-motion resorts,
     build = build_slot_structure (global key sort + compactions),
     src = per-chunk source-slot extraction (row gather + lane-shift kernel),
     permute_pure = the single-chunk-row-gather relabel shortcut,
     permute_mixed = the in-kernel DMA permute (src analysis + kernel),
     grid_cache = node positions + collider projection rebuild."""
 
+    relabel: float = 0.0
     build: float = 0.0
     src: float = 0.0
     permute_pure: float = 0.0
@@ -263,6 +266,26 @@ def profile_resort(pipe, particles, iters=20) -> ResortTimings:
         return max((time.perf_counter() - t0) / iters * 1000.0 - null, 0.0), res
 
     t = ResortTimings()
+
+    def f_relabel(slots, ints):
+        # The sort-free coherent-motion path, forced (detection + structure
+        # from chunk keys + finalize), regardless of whether THIS state
+        # would pass detection — the per-stage cost is state-independent.
+        pos = jnp.stack(
+            [slots[:, r.pos + ax, :].reshape(-1) for ax in range(dim)], axis=-1
+        )
+        flags = ints[:, L.I_FLAGS, :].reshape(-1)
+        occupied = (flags & L.OCCUPIED) != 0
+        active = occupied & ((flags & L.ACTIVE) != 0)
+        key_eff = S.slot_key_rows(grid, cfg, pos, active, occupied)
+        occ2 = occupied.reshape(d_, c)
+        ok, ckey, occ_count = S.detect_chunk_relabel(grid, cfg, key_eff, occ2)
+        st = S.structure_from_chunk_keys(grid, cfg, ckey, occ_count)
+        slots = slots.at[:, r.cumd, :].set(0.0)
+        ints = L._write_origin_rows(ints, st, dim)
+        return ok, slots, ints, st.num_blocks
+
+    t.relabel, _ = timeit(f_relabel, state.slots, state.ints)
 
     def f_build(slots, ints):
         pos = jnp.stack(

@@ -385,3 +385,136 @@ def test_fused_boundary_particle_projection_matches_dense():
     vd = np.asarray(pd.velocity)[act_d][od]
     vf = np.asarray(pf.velocity)[act_f][of]
     np.testing.assert_allclose(vd, vf, atol=1e-4)
+
+
+def _slot_keys_occ(grid, cfg, state):
+    r = L.Rows(grid.dim)
+    pos = jnp.stack(
+        [state.slots[:, r.pos + ax, :].reshape(-1) for ax in range(grid.dim)],
+        axis=-1,
+    )
+    flags = state.ints[:, L.I_FLAGS, :].reshape(-1)
+    occupied = (flags & L.OCCUPIED) != 0
+    active = occupied & ((flags & L.ACTIVE) != 0)
+    key_eff = FS.slot_key_rows(grid, cfg, pos, active, occupied)
+    occ2 = occupied.reshape(cfg.max_chunks, cfg.chunk_size)
+    return pos, active, occupied, key_eff, occ2
+
+
+def _scene2d_exact(n=12):
+    """Binary-exact geometry (power-of-two cell width, lattice positions):
+    a shift by a whole number of cells moves every key uniformly — no
+    rounding flips at cell boundaries (0.05-width grids split chunks under
+    f32 shift arithmetic, which correctly rejects the relabel path)."""
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.0625, res=(64, 64))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(E, NU))]
+    )
+    p = sk.cube_particles(
+        origin=(0.8125, 1.25), counts=(n, n), model_id=0,
+        particle_radius=0.0625 / 4, density0=1000.0,
+    )
+    return grid, models, p
+
+
+def test_resort_relabel_structure_matches_rebuild():
+    """Under a uniform one-block shift the sort-free chunk-relabel path must
+    (a) detect, and (b) produce a structure FIELD-FOR-FIELD identical to the
+    full sorted rebuild of the same population."""
+    grid, models, p = _scene2d_exact(12)
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    r = L.Rows(2)
+    slots = state.slots.at[:, r.pos + 1, :].add(-4.0 * grid.cell_width)
+    state = state.replace(slots=slots)
+
+    pos, active, occupied, key_eff, occ2 = _slot_keys_occ(grid, cfg, state)
+    ok, ckey, occ_count = jax.jit(
+        lambda k, o: FS.detect_chunk_relabel(grid, cfg, k, o)
+    )(key_eff, occ2)
+    assert bool(ok)
+
+    fast = jax.jit(
+        lambda k, o: FS.structure_from_chunk_keys(grid, cfg, k, o)
+    )(ckey, occ_count)
+    full, _, _ = jax.jit(
+        lambda q, a, o: FS.build_slot_structure(grid, cfg, q, a, o)
+    )(pos, active, occupied)
+
+    for f in (
+        "block_keys", "grid_keys", "nbr_index", "chunk_block", "chunk_count",
+        "chunk_origin", "block_first_chunk", "block_num_chunks",
+        "num_blocks", "num_grid_blocks", "num_chunks",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, f)), np.asarray(getattr(full, f)),
+            err_msg=f,
+        )
+
+
+def test_resort_relabel_detection_rejects_mixing():
+    """Scrambled positions (chunks split across blocks) must fall back to
+    the sorted rebuild."""
+    grid, models, p = _scene2d(12)
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    r = L.Rows(2)
+    # Per-lane alternating +-1-cell jitter splits every chunk's key set.
+    c = cfg.chunk_size
+    jit_y = (jnp.arange(c) % 2).astype(jnp.float32) * 2.0 - 1.0
+    slots = state.slots.at[:, r.pos + 1, :].add(
+        jit_y[None, :] * grid.cell_width * 4.0
+    )
+    state = state.replace(slots=slots)
+    _, _, _, key_eff, occ2 = _slot_keys_occ(grid, cfg, state)
+    ok, _, _ = jax.jit(
+        lambda k, o: FS.detect_chunk_relabel(grid, cfg, k, o)
+    )(key_eff, occ2)
+    assert not bool(ok)
+
+
+def test_resort_relabel_end_to_end_matches_rebuild(monkeypatch):
+    """L.resort through the sort-free path must equal the full rebuild path
+    bit-for-bit (slots, ints, and every structure field)."""
+    grid, models, p = _scene2d_exact(12)
+    cfg = FS.calibrate_ob2(grid, p.position, p.active)
+    dtb = dense.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    r = L.Rows(2)
+    slots = state.slots.at[:, r.pos + 1, :].add(-4.0 * grid.cell_width)
+    state = state.replace(slots=slots)
+
+    out_fast, ov_fast = jax.jit(
+        lambda s: L.resort(grid, cfg, s, 2, interpret=True)
+    )(state)
+
+    orig = FS.detect_chunk_relabel
+
+    def never(*a, **kw):
+        ok, ckey, occ = orig(*a, **kw)
+        return jnp.asarray(False), ckey, occ
+
+    monkeypatch.setattr(FS, "detect_chunk_relabel", never)
+    out_full, ov_full = jax.jit(
+        lambda s: L.resort(grid, cfg, s, 2, interpret=True)
+    )(state)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_fast.slots), np.asarray(out_full.slots)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fast.ints), np.asarray(out_full.ints)
+    )
+    for f in (
+        "block_keys", "grid_keys", "nbr_index", "chunk_block", "chunk_count",
+        "chunk_origin", "block_first_chunk", "block_num_chunks",
+        "num_blocks", "num_grid_blocks", "num_chunks",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_fast.structure, f)),
+            np.asarray(getattr(out_full.structure, f)),
+            err_msg=f,
+        )
+    assert bool(ov_fast) == bool(ov_full) == False
