@@ -26,7 +26,42 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 BASELINE_PUPS = 1.0e9
 
 
+def _wait_for_device(budget_s: float, probe_timeout_s: float = 90.0):
+    """Block until the JAX backend is reachable, probing from FRESH
+    subprocesses (a process that initializes JAX during a tunnel outage can
+    stay stuck on the dead connection forever — including this one, which is
+    why the probe is out-of-process and runs BEFORE any backend init here).
+    Returns True if a probe succeeded, False if the budget ran out."""
+    import subprocess
+
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                plat = r.stdout.decode().strip()
+                print(f"bench: device probe ok ({plat})", file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print("bench: device probe FAILED for the whole wait budget; "
+                  "proceeding anyway (may hang)", file=sys.stderr)
+            return False
+        print(f"bench: device unreachable (attempt {attempt}); "
+              "tunnel may be down — retrying in 30s", file=sys.stderr)
+        time.sleep(30.0)
+
+
 def main():
+    # The tunneled TPU flaps; don't let one outage cost the whole bench run.
+    _wait_for_device(float(os.environ.get("SPARKL_BENCH_TUNNEL_WAIT", "3600")))
     scale = os.environ.get("SPARKL_BENCH_SCALE", "full")
     frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "5"))
 
