@@ -1,0 +1,144 @@
+"""One-shot TPU measurement sweep for the round-3 levers.
+
+Waits for the tunnel (fresh-subprocess probes), then runs, in order:
+  1. fused per-stage substep profile @ sand3/500k   (stress cache, z-major)
+  2. resort per-stage profile (relabel fast path vs build/src/permute)
+  3. kernel ablation rows (B full / B cardano-svd / B -svd / ...)
+  4. bench.py full scale (f32) and the bf16 knob
+  5. per-scene fused-vs-sparse substep table (small-N regression check)
+
+Appends human-readable results to scripts/measure_round3.log so a dropped
+tunnel mid-sweep loses only the current stage. Each stage runs in a FRESH
+subprocess: a JAX client that initialized during an outage can wedge, and
+one stage's wedge must not take down the sweep.
+
+Usage: python scripts/measure_round3.py [--stages 1,2,3,4,5]
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "measure_round3.log")
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run_stage(name, code, timeout_s=1800, env=None):
+    import bench
+
+    if not bench._wait_for_device(3600.0):
+        log(f"{name}: SKIPPED (tunnel down for the whole wait budget)")
+        return False
+    log(f"{name}: starting")
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s, env=e,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        log(f"{name}: TIMED OUT after {timeout_s}s")
+        return False
+    dtw = time.monotonic() - t0
+    out = r.stdout.decode(errors="replace").strip()
+    err = r.stderr.decode(errors="replace").strip()
+    if r.returncode != 0:
+        log(f"{name}: FAILED rc={r.returncode} ({dtw:.0f}s)\n--- stderr tail:\n"
+            + "\n".join(err.splitlines()[-15:]))
+        return False
+    log(f"{name}: ok ({dtw:.0f}s)\n" + out)
+    return True
+
+
+STAGE1 = """
+import sys; sys.path.insert(0, '.')
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.utils.timings import profile_fused_substep
+b = scenes.build('sand3', nx=100, ny=50, nz=50)
+pipe = FusedMpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+t = profile_fused_substep(pipe, b.particles)
+print(t)
+"""
+
+STAGE2 = """
+import sys; sys.path.insert(0, '.')
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.utils.timings import profile_resort
+b = scenes.build('sand3', nx=100, ny=50, nz=50)
+pipe = FusedMpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+t = profile_resort(pipe, b.particles)
+print(t)
+"""
+
+STAGE5 = """
+import sys, time; sys.path.insert(0, '.')
+import numpy as np, jax
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
+for name in ['elasticity2', 'fluids2', 'basic2', 'sand3']:
+    b = scenes.build(name)
+    row = [name]
+    for cls in (FusedMpmPipeline, SparseMpmPipeline):
+        try:
+            pipe = cls(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+            p, _ = pipe.run_frames(b.particles, 1)   # compile+warm
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, tot = pipe.run_frames(p, 1)
+                tot = int(tot)
+                reps.append((time.perf_counter() - t0) / max(tot, 1) * 1e3)
+            row.append(f"{cls.__name__[:5]} {min(reps):.2f} ms/substep ({tot} sub)")
+        except Exception as ex:
+            row.append(f"{cls.__name__[:5]} ERR {type(ex).__name__}")
+    print('  '.join(row), flush=True)
+"""
+
+
+def main():
+    stages = os.environ.get("STAGES", "1,2,3,4,5")
+    if "--stages" in sys.argv:
+        stages = sys.argv[sys.argv.index("--stages") + 1]
+    want = set(stages.split(","))
+    log(f"=== measurement sweep start (stages {sorted(want)}) ===")
+    if "1" in want:
+        run_stage("stage1 fused substep profile", STAGE1)
+    if "2" in want:
+        run_stage("stage2 resort profile", STAGE2)
+    if "3" in want:
+        run_stage(
+            "stage3 kernel ablation",
+            "import sys; sys.path.insert(0, '.'); "
+            "sys.argv=['ablate_kernels.py']; "
+            "exec(open('scripts/ablate_kernels.py').read())",
+            timeout_s=2400,
+        )
+    if "4" in want:
+        run_stage("stage4 bench f32", "exec(open('bench.py').read())",
+                  env={"SPARKL_BENCH_TUNNEL_WAIT": "60"})
+        run_stage("stage4 bench bf16", "exec(open('bench.py').read())",
+                  env={"SPARKL_BENCH_DTYPE": "bfloat16",
+                       "SPARKL_BENCH_TUNNEL_WAIT": "60"})
+    if "5" in want:
+        run_stage("stage5 per-scene fused vs sparse", STAGE5, timeout_s=3600)
+    log("=== sweep done ===")
+
+
+if __name__ == "__main__":
+    main()

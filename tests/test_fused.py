@@ -518,3 +518,34 @@ def test_resort_relabel_end_to_end_matches_rebuild(monkeypatch):
             err_msg=f,
         )
     assert bool(ov_fast) == bool(ov_full) == False
+
+
+def test_fused_cardano_matches_dense_jacobi():
+    """Physics bar for flipping the in-kernel eigensolver default: one 3D
+    frame of the corotated+Drucker-Prager sand scene traced with the Cardano
+    backend (fused side only) must stay within slightly loosened tolerances
+    of the dense reference running the Jacobi default. Near-identity F is
+    the clustered-eigenvalue worst case for closed-form eigenvectors."""
+    import importlib
+
+    svd_mod = importlib.import_module("sparkl_tpu.math.svd")
+
+    grid, models, p = _scene3d(8)
+    colliders = [
+        sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+    ]
+    gravity = [0.0, -9.81, 0.0]
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+
+    prev = svd_mod.set_eig3_method("cardano")
+    try:
+        fpipe = FusedMpmPipeline(
+            grid, models, colliders, params, gravity, use_pallas="interpret"
+        )
+        pf = fpipe.step(p)
+    finally:
+        svd_mod.set_eig3_method(prev)
+    _compare(pd, pf, atol_pos=5e-5, atol_vel=1e-3, atol_f=1e-3)
