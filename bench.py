@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
+# SPARKL_BENCH_PLATFORM=cpu pins the backend (CI smoke must not block on the
+# TPU tunnel; the env var alone is not enough — an axon boot hook
+# force-selects the tunneled TPU via jax.config, so override it the same way).
+_plat = os.environ.get("SPARKL_BENCH_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # Persistent compile cache: repeat bench runs skip the 30-60s XLA compile.
 os.makedirs("/tmp/jaxcache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -61,7 +68,9 @@ def _wait_for_device(budget_s: float, probe_timeout_s: float = 90.0):
 
 def main():
     # The tunneled TPU flaps; don't let one outage cost the whole bench run.
-    _wait_for_device(float(os.environ.get("SPARKL_BENCH_TUNNEL_WAIT", "3600")))
+    # (Skipped when the platform is pinned — nothing to wait for off-tunnel.)
+    if not _plat:
+        _wait_for_device(float(os.environ.get("SPARKL_BENCH_TUNNEL_WAIT", "3600")))
     scale = os.environ.get("SPARKL_BENCH_SCALE", "full")
     frames = int(os.environ.get("SPARKL_BENCH_FRAMES", "5"))
 

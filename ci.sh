@@ -19,7 +19,8 @@ fi
 # Bench smoke: tiny sand3 on whatever backend is available (CPU ok) — checks
 # that bench.py still emits its one-line JSON contract.
 BENCH_OUT=$(mktemp)
-SPARKL_BENCH_SCALE=16 SPARKL_BENCH_FRAMES=1 python bench.py > "$BENCH_OUT"
+SPARKL_BENCH_PLATFORM=cpu SPARKL_BENCH_SCALE=16 SPARKL_BENCH_FRAMES=1 \
+  python bench.py > "$BENCH_OUT"
 python - "$BENCH_OUT" <<'EOF'
 import json, sys
 line = open(sys.argv[1]).read().strip()
