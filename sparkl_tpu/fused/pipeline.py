@@ -676,7 +676,15 @@ class FusedMpmPipeline:
         node_pos = jnp.concatenate(
             [node_pos, jnp.full((1, cpb, dim), 1.0e10, jnp.float32)], axis=0
         )
-        projections = dense.grid_node_projections(self.colliders, node_pos)
+        if self.params.gpu_boundary_semantics and self.colliders:
+            # GPU-pipeline semantics: best-collider status + sdf-gradient
+            # normals, recomputed per resort exactly like the reference's
+            # NotComputed-gated cache (src_kernels/cuda/grid_update.rs:106-140).
+            projections = dense.gpu_grid_projection_data(
+                grid, self.colliders, node_pos, self.params.boundary_handling
+            )
+        else:
+            projections = dense.grid_node_projections(self.colliders, node_pos)
         return (node_pos, projections)
 
     def _pack(self, particles):

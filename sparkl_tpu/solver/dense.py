@@ -199,6 +199,86 @@ def grid_node_projections(colliders, node_positions):
     return tuple(c.project_point(node_positions) for c in colliders)
 
 
+def _effective_bh(collider, boundary_handling):
+    return (
+        BoundaryHandling(collider.boundary_handling)
+        if collider.boundary_handling is not None
+        else boundary_handling
+    )
+
+
+def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling):
+    """GPU-pipeline per-node projection data: the single BEST collider
+    (nearest projection within the 2-cell cutoff) plus a contact normal from
+    the central finite difference of the min signed SDF over all
+    boundary-enabled colliders (ref GPU path:
+    src_kernels/cuda/grid_update.rs:43-141 — projection_status / sdf /
+    sdf_gradient; the CPU reference instead applies every collider
+    sequentially with projection-delta normals, grid_update.rs:43-132 in
+    src/dynamics/solver/).
+
+    Returns (best_id i32, inside bool, dist f32, normal f32[..., d]);
+    best_id = -1 where no collider projects within 2*cell_width (the
+    reference's GpuGridProjectionStatus::TooFar). Cacheable across substeps
+    exactly like grid_node_projections (the reference recomputes only when
+    projection_status == NotComputed, i.e. after a grid remap = our resort).
+    """
+    h = grid.cell_width
+    max_dist = 2.0 * h
+    dim = node_positions.shape[-1]
+    base_shape = node_positions.shape[:-1]
+
+    enabled = [
+        c for c in colliders
+        if _effective_bh(c, boundary_handling) != BoundaryHandling.NONE
+    ]
+
+    def signed_min_sdf(q):
+        """min over enabled colliders of signed distance; +inf where no
+        collider projects within the cutoff (the reference's Option chain)."""
+        best = jnp.full(q.shape[:-1], jnp.inf, jnp.float32)
+        for c in enabled:
+            proj, inside = c.project_point(q)
+            d = jnp.linalg.norm(q - proj, axis=-1)
+            s = jnp.where(inside, -d, d)
+            s = jnp.where(d <= max_dist, s, jnp.inf)
+            best = jnp.minimum(best, s)
+        return best
+
+    best_id = jnp.full(base_shape, -1, jnp.int32)
+    best_dist = jnp.full(base_shape, 1.0e10, jnp.float32)
+    best_inside = jnp.zeros(base_shape, bool)
+    for ci, c in enumerate(colliders):
+        if _effective_bh(c, boundary_handling) == BoundaryHandling.NONE:
+            continue
+        proj, inside = c.project_point(node_positions)
+        d = jnp.linalg.norm(node_positions - proj, axis=-1)
+        better = (d <= max_dist) & (d < best_dist)
+        best_id = jnp.where(better, ci, best_id)
+        best_dist = jnp.where(better, d, best_dist)
+        best_inside = jnp.where(better, inside, best_inside)
+
+    # collision_normal = normalize(grad sdf), sampled at +-0.1*h per axis;
+    # an axis with a missing sample contributes 0 (reference's match arms).
+    eps = h * 0.1
+    grads = []
+    for ax in range(dim):
+        off = np.zeros((dim,), np.float32)
+        off[ax] = eps
+        sp = signed_min_sdf(node_positions + off)
+        sn = signed_min_sdf(node_positions - off)
+        ok = jnp.isfinite(sp) & jnp.isfinite(sn)
+        grads.append(jnp.where(ok, (sp - sn) / (2.0 * eps), 0.0))
+    normal = jnp.stack(grads, axis=-1)
+    nn = jnp.linalg.norm(normal, axis=-1)
+    normal = jnp.where(
+        (nn > 1.0e-5)[..., None],
+        normal / jnp.maximum(nn, 1.0e-30)[..., None],
+        0.0,
+    )
+    return best_id, best_inside, best_dist, normal
+
+
 def grid_update(
     grid: GridParams,
     state: GridState,
@@ -212,14 +292,22 @@ def grid_update(
 ):
     """Per-node DOF locking + collider boundary conditions.
 
-    Ref: grid_update.rs `grid_update` (:43-132): Stick zeroes velocity inside;
-    Friction projects out approaching normal velocity with Coulomb tangential
-    decay and a penetration-margin correction one cell ahead of the surface.
-    `projections` (grid_node_projections) skips the per-substep collider
-    projection when the caller caches it. With `gpu_boundary_semantics`,
-    FrictionZUp in 3D gates friction on the contact normal's z-component
-    (ref GPU path: src_kernels/cuda/grid_update.rs:160-165); off, it aliases
-    Friction (ref CPU path: src/dynamics/solver/grid_update.rs:95).
+    Default (CPU reference semantics, src/dynamics/solver/grid_update.rs:43-132):
+    every collider is applied SEQUENTIALLY with projection-delta normals;
+    Stick zeroes velocity inside; Friction projects out approaching normal
+    velocity with Coulomb tangential decay and a penetration-margin
+    correction one cell ahead of the surface; FrictionZUp aliases Friction
+    (grid_update.rs:95).
+
+    With `gpu_boundary_semantics`, the reference's GPU pipeline behavior
+    (src_kernels/cuda/grid_update.rs:43-195): only the single BEST collider
+    (nearest within 2 cells) responds, the contact normal is the
+    central-difference gradient of the min signed SDF over all colliders,
+    and FrictionZUp in 3D gates friction on normal.z >= 0.
+
+    `projections` skips the per-substep collider projection when the caller
+    caches it: `grid_node_projections(...)` output for the default path,
+    `gpu_grid_projection_data(...)` output under gpu_boundary_semantics.
     """
     vel = state.velocity
     mom = state.momentum
@@ -238,12 +326,21 @@ def grid_update(
     if node_positions is None:
         node_positions = grid.node_positions()
 
-    for ci, collider in enumerate(colliders):
-        bh = (
-            BoundaryHandling(collider.boundary_handling)
-            if collider.boundary_handling is not None
-            else boundary_handling
+    if gpu_boundary_semantics and colliders:
+        data = (
+            projections
+            if projections is not None
+            else gpu_grid_projection_data(
+                grid, colliders, node_positions, boundary_handling
+            )
         )
+        vel = _gpu_boundary_response(
+            grid, vel, dt, colliders, boundary_handling, data
+        )
+        return state.replace(velocity=vel, momentum=mom)
+
+    for ci, collider in enumerate(colliders):
+        bh = _effective_bh(collider, boundary_handling)
         if bh == BoundaryHandling.NONE:
             continue
         if projections is not None:
@@ -290,17 +387,66 @@ def grid_update(
             jnp.where(tunnel[..., None], corrected, vel),
         )
         apply = has_normal & approaching
-        if (
-            gpu_boundary_semantics
-            and grid.dim == 3
-            and bh == BoundaryHandling.FRICTION_Z_UP
-        ):
-            # GPU z-gate: no boundary response where the contact normal
-            # points downward (grid_update.rs:160-165).
-            apply = apply & (normal[..., 2] >= 0.0)
         vel = jnp.where(apply[..., None], new_vel, vel)
 
     return state.replace(velocity=vel, momentum=mom)
+
+
+def _gpu_boundary_response(grid, vel, dt, colliders, boundary_handling, data):
+    """Single-best-collider boundary response with SDF-gradient normals
+    (ref: src_kernels/cuda/grid_update.rs update_single_cell :141-195):
+    Stick zeroes inside nodes; Friction/FrictionZUp respond only while
+    approaching (normal_vel < 0), with the friction projection in contact
+    (inside or within one cell) and the tunnel-margin correction otherwise;
+    FrictionZUp in 3D additionally requires normal.z >= 0 (:160-165)."""
+    h = grid.cell_width
+    best_id, inside, dist, normal = data
+
+    friction = jnp.zeros_like(dist)
+    bh_code = jnp.full(best_id.shape, int(BoundaryHandling.NONE), jnp.int32)
+    for ci, collider in enumerate(colliders):
+        bh = _effective_bh(collider, boundary_handling)
+        sel = best_id == ci
+        friction = jnp.where(sel, collider.friction, friction)
+        bh_code = jnp.where(sel, int(bh), bh_code)
+    has = best_id >= 0
+
+    stick = has & (bh_code == int(BoundaryHandling.STICK)) & inside
+    vel = jnp.where(stick[..., None], 0.0, vel)
+
+    fric_bh = (bh_code == int(BoundaryHandling.FRICTION)) | (
+        bh_code == int(BoundaryHandling.FRICTION_Z_UP)
+    )
+    has_normal = jnp.sum(normal * normal, axis=-1) > 0.0
+    apply_f = has & fric_bh & has_normal
+    if grid.dim == 3:
+        apply_f = apply_f & (
+            (bh_code == int(BoundaryHandling.FRICTION)) | (normal[..., 2] >= 0.0)
+        )
+
+    normal_vel = jnp.sum(vel * normal, axis=-1)
+    approaching = normal_vel < 0.0
+    dist_with_margin = dist - h
+    tangent = vel - normal_vel[..., None] * normal
+    tangent_norm = jnp.linalg.norm(tangent, axis=-1)
+    safe_t = jnp.where(tangent_norm > 1.0e-10, tangent_norm, 1.0)
+    friction_vel = (
+        tangent
+        / safe_t[..., None]
+        * jnp.maximum(tangent_norm + normal_vel * friction, 0.0)[..., None]
+    )
+    contact_vel = jnp.where(
+        (tangent_norm > 1.0e-10)[..., None], friction_vel, tangent
+    )
+    in_contact = inside | (dist_with_margin <= 0.0)
+    tunnel = (-normal_vel * dt) > dist_with_margin
+    corrected = vel - (dist_with_margin / dt + normal_vel)[..., None] * normal
+    new_vel = jnp.where(
+        in_contact[..., None],
+        contact_vel,
+        jnp.where(tunnel[..., None], corrected, vel),
+    )
+    return jnp.where((apply_f & approaching)[..., None], new_vel, vel)
 
 
 def g2p_gather(grid: GridParams, state: GridState, p):
