@@ -160,33 +160,6 @@ def _axis_weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
     return w_axes, wd_axes
 
 
-def _weights_chunk(grid: GridParams, data, iref, dim, rows: "L.Rows", i):
-    """Full tensor-product window weights (mass-transfer kernels only; the
-    main kernels use the factorized per-axis form). Returns
-    (w_full [8^d, C], wd per-axis list)."""
-    w_axes, wd_axes = _axis_weights_chunk(grid, data, iref, dim, rows, i)
-    w_full = _outer_full(w_axes)
-    wd = []
-    for j in range(dim):
-        parts = [wd_axes[ax] if ax == j else w_axes[ax] for ax in range(dim)]
-        wd.append(_outer_full(parts))
-    return w_full, wd
-
-
-def _outer_full(w_axes):
-    dim = len(w_axes)
-    rs, c = w_axes[0].shape
-    if dim == 2:
-        w = w_axes[0][:, None, :] * w_axes[1][None, :, :]
-        return w.reshape(rs * rs, c)
-    w = (
-        w_axes[0][:, None, None, :]
-        * w_axes[1][None, :, None, :]
-        * w_axes[2][None, None, :, :]
-    )
-    return w.reshape(rs * rs * rs, c)
-
-
 def _dot(a, b):
     """[M, K] x [K, N] -> [M, N] on the MXU."""
     return jax.lax.dot_general(
@@ -518,55 +491,88 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
 def _mass_p2g_kernel(grid, nr, slots_ref, ints_ref, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
+    rs = region_side()
     data = slots_ref[...]
     iref = ints_ref[...]
+    c = data.shape[2]
     active = (iref[:, L.I_FLAGS, :] & L.ACTIVE) != 0
     in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
     contrib = (active & in_window & in_bounds).astype(jnp.float32)
     m_c = contrib * data[:, r.mass, :]
     for i in range(nr):
-        w_full, _ = _weights_chunk(grid, data, iref, dim, r, i)
-        out_ref[i] = _dot_nt(m_c[i : i + 1, :], w_full)
+        w_ax, _ = _axis_weights_chunk(grid, data, iref, dim, r, i)
+        if dim == 2:
+            # rows x, lanes y (row-major q = x*8 + y).
+            b = m_c[i : i + 1, :] * w_ax[0]  # [8, C]
+            out_ref[i] = _dot_nt(b, w_ax[1])
+        else:
+            # rows z, lanes xy (z-major q = z*64 + x*8 + y, the main
+            # kernels' order) — same factorization as kernel A: ~8x less
+            # VPU expansion than the full [512, C] tensor product this
+            # replaces, one [8, C] @ [64, C]ᵀ MXU dot per chunk.
+            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c
+            )
+            bz = m_c[i : i + 1, :] * w_ax[2]  # [8, C]
+            out_ref[i] = _dot_nt(bz, w_xy)
 
 
 def _mass_g2p_kernel(grid, nr, slots_ref, ints_ref, win_ref, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
+    rs = region_side()
     data = slots_ref[...]
     iref = ints_ref[...]
+    c = data.shape[2]
     active = (iref[:, L.I_FLAGS, :] & L.ACTIVE) != 0
     in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
     contrib = (active & in_window & in_bounds).astype(jnp.float32)
     for i in range(nr):
-        w_full, _ = _weights_chunk(grid, data, iref, dim, r, i)
-        out_ref[i] = contrib[i : i + 1, :] * _dot(win_ref[i], w_full)
+        w_ax, _ = _axis_weights_chunk(grid, data, iref, dim, r, i)
+        if dim == 2:
+            t = _dot(win_ref[i], w_ax[1])  # [8_x, 8_y] @ [8_y, C] -> [8, C]
+            out = jnp.sum(t * w_ax[0], axis=0, keepdims=True)
+        else:
+            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                rs * rs, c
+            )
+            t = _dot(win_ref[i], w_xy)  # [8_z, 64] @ [64, C] -> [8, C]
+            out = jnp.sum(t * w_ax[2], axis=0, keepdims=True)
+        out_ref[i] = contrib[i : i + 1, :] * out
 
 
 def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
-    """Mass-only window images [D, 1, 8^d]."""
+    """Mass-only window images [D, 1, 8^d] (3D cell order = z-major,
+    transfer.ZMAJOR_ORDER_3D — pass cell_order to merge)."""
     r = L.Rows(grid.dim)
     rc = region_cells(grid.dim)
+    rs = region_side()
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     nr = _r_of(cfg, interpret)
     kernel = functools.partial(_mass_p2g_kernel, grid, nr)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(d_ // nr,),
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nr, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=_out_shape((d_, 1, rc), jnp.float32, vma),
+        out_specs=pl.BlockSpec(
+            (nr, rs, rc // rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=_out_shape((d_, rs, rc // rs), jnp.float32, vma),
         interpret=interpret,
     )(slots, ints)
+    return out.reshape(d_, 1, rc)
 
 
 def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
-    """Mass gather per slot [D, 1, C] from mass windows [D, 1, 8^d]."""
+    """Mass gather per slot [D, 1, C] from mass windows [D, 1, 8^d]
+    (3D windows must be z-major — gather with cell_order=ZMAJOR_ORDER_3D)."""
     r = L.Rows(grid.dim)
     rc = region_cells(grid.dim)
+    rs = region_side()
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     nr = _r_of(cfg, interpret)
@@ -577,12 +583,14 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nr, 1, rc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nr, rs, rc // rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, c), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, windows)
+    )(slots, ints, windows.reshape(d_, rs, rc // rs))
 
 
 # ---------------------------------------------------------------------------

@@ -192,19 +192,23 @@ class FusedMpmPipeline:
         ref: fluids_volume.rs recompute_fluids_volumes)."""
         grid, cfg, r = self.grid, self._cfg, self._rows
         d = grid.dim
+        cell_order = T.ZMAJOR_ORDER_3D if d == 3 else None
         images = K.mass_p2g_fused(
             grid, cfg, state.slots, state.ints, interpret=self._interpret,
             vma=self._kernel_vma,
         )
         node = T.merge_images_to_grid(
-            grid, cfg, state.structure, images, gather=True
+            grid, cfg, state.structure, images, gather=True,
+            cell_order=cell_order,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
             # Boundary-column partial masses summed across shards before the
             # density gather (the multi-chip extension of fluids_volume.rs).
             node, halo_ov = self._halo_fn(node, state.structure)
-        windows = T.gather_grid_windows(grid, cfg, state.structure, node)
+        windows = T.gather_grid_windows(
+            grid, cfg, state.structure, node, cell_order=cell_order
+        )
         out = K.mass_g2p_fused(
             grid, cfg, state.slots, state.ints, windows,
             interpret=self._interpret, vma=self._kernel_vma,
