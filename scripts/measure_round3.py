@@ -32,12 +32,13 @@ def log(msg):
         f.write(line + "\n")
 
 
-def run_stage(name, code, timeout_s=1800, env=None):
+def run_stage(name, code, timeout_s=1800, env=None, wait_s=1800.0):
+    """Returns 'ok', 'fail' (ran but errored/timed out), or 'tunnel'."""
     import bench
 
-    if not bench._wait_for_device(3600.0):
+    if not bench._wait_for_device(wait_s):
         log(f"{name}: SKIPPED (tunnel down for the whole wait budget)")
-        return False
+        return "tunnel"
     log(f"{name}: starting")
     e = dict(os.environ)
     if env:
@@ -51,16 +52,16 @@ def run_stage(name, code, timeout_s=1800, env=None):
         )
     except subprocess.TimeoutExpired:
         log(f"{name}: TIMED OUT after {timeout_s}s")
-        return False
+        return "fail"
     dtw = time.monotonic() - t0
     out = r.stdout.decode(errors="replace").strip()
     err = r.stderr.decode(errors="replace").strip()
     if r.returncode != 0:
         log(f"{name}: FAILED rc={r.returncode} ({dtw:.0f}s)\n--- stderr tail:\n"
             + "\n".join(err.splitlines()[-15:]))
-        return False
+        return "fail"
     log(f"{name}: ok ({dtw:.0f}s)\n" + out)
-    return True
+    return "ok"
 
 
 STAGE1 = """
@@ -115,29 +116,61 @@ def main():
     stages = os.environ.get("STAGES", "1,2,3,4,5")
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
-    want = set(stages.split(","))
-    log(f"=== measurement sweep start (stages {sorted(want)}) ===")
-    if "1" in want:
-        run_stage("stage1 fused substep profile", STAGE1)
-    if "2" in want:
-        run_stage("stage2 resort profile", STAGE2)
-    if "3" in want:
-        run_stage(
-            "stage3 kernel ablation",
-            "import sys; sys.path.insert(0, '.'); "
-            "sys.argv=['ablate_kernels.py']; "
-            "exec(open('scripts/ablate_kernels.py').read())",
-            timeout_s=2400,
-        )
-    if "4" in want:
-        run_stage("stage4 bench f32", "exec(open('bench.py').read())",
-                  env={"SPARKL_BENCH_TUNNEL_WAIT": "60"})
-        run_stage("stage4 bench bf16", "exec(open('bench.py').read())",
-                  env={"SPARKL_BENCH_DTYPE": "bfloat16",
-                       "SPARKL_BENCH_TUNNEL_WAIT": "60"})
-    if "5" in want:
-        run_stage("stage5 per-scene fused vs sparse", STAGE5, timeout_s=3600)
-    log("=== sweep done ===")
+    budget_h = float(os.environ.get("SWEEP_BUDGET_H", "10"))
+    want = [s for s in stages.split(",") if s]
+    log(f"=== measurement sweep start (stages {want}, budget {budget_h}h) ===")
+
+    def attempt(key):
+        if key == "1":
+            return run_stage("stage1 fused substep profile", STAGE1)
+        if key == "2":
+            return run_stage("stage2 resort profile", STAGE2)
+        if key == "3":
+            return run_stage(
+                "stage3 kernel ablation",
+                "import sys; sys.path.insert(0, '.'); "
+                "sys.argv=['ablate_kernels.py']; "
+                "exec(open('scripts/ablate_kernels.py').read())",
+                timeout_s=2400,
+            )
+        if key == "4":
+            a = run_stage("stage4 bench f32", "exec(open('bench.py').read())",
+                          env={"SPARKL_BENCH_TUNNEL_WAIT": "60"})
+            if a == "tunnel":
+                return a
+            b = run_stage("stage4 bench bf16", "exec(open('bench.py').read())",
+                          env={"SPARKL_BENCH_DTYPE": "bfloat16",
+                               "SPARKL_BENCH_TUNNEL_WAIT": "60"})
+            return b if b == "tunnel" else ("ok" if (a, b) == ("ok", "ok") else "fail")
+        if key == "5":
+            return run_stage("stage5 per-scene fused vs sparse", STAGE5,
+                             timeout_s=3600)
+        log(f"unknown stage {key}")
+        return "fail"
+
+    # Retry tunnel-skipped stages until the wall-clock budget runs out; a
+    # stage that actually RAN but failed gets two more tries, then sticks.
+    deadline = time.monotonic() + budget_h * 3600.0
+    fails = {}
+    pending = list(want)
+    while pending and time.monotonic() < deadline:
+        nxt = []
+        for key in pending:
+            r = attempt(key)
+            if r == "ok":
+                continue
+            if r == "fail":
+                fails[key] = fails.get(key, 0) + 1
+                if fails[key] >= 3:
+                    log(f"stage{key}: giving up after 3 failed runs")
+                    continue
+            nxt.append(key)
+        pending = nxt
+        if pending:
+            log(f"stages {pending} pending; retrying (budget "
+                f"{(deadline - time.monotonic()) / 3600.0:.1f}h left)")
+            time.sleep(60.0)
+    log(f"=== sweep done (unfinished: {pending}) ===")
 
 
 if __name__ == "__main__":
