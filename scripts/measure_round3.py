@@ -112,8 +112,22 @@ for name in ['elasticity2', 'fluids2', 'basic2', 'sand3']:
 """
 
 
+STAGE6 = """
+import sys, time; sys.path.insert(0, '.')
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.utils.timings import profile_fused_substep
+b = scenes.build('sand3', nx=100, ny=50, nz=50)
+pipe = FusedMpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+t = profile_fused_substep(pipe, b.particles)
+import os
+print('nr =', os.environ.get('SPARKL_CHUNKS_PER_PROGRAM', '8'))
+print(t)
+"""
+
+
 def main():
-    stages = os.environ.get("STAGES", "1,2,3,4,5")
+    stages = os.environ.get("STAGES", "1,2,3,4,5,6")
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
     budget_h = float(os.environ.get("SWEEP_BUDGET_H", "10"))
@@ -145,6 +159,19 @@ def main():
         if key == "5":
             return run_stage("stage5 per-scene fused vs sparse", STAGE5,
                              timeout_s=3600)
+        if key == "6":
+            # Sublane-stacked kernels: per-particle physics is a serial op
+            # chain; nr > 8 covers multiple vregs per op (latency hiding).
+            res = []
+            for nr in ("16", "32", "64"):
+                r = run_stage(
+                    f"stage6 substep profile nr={nr}", STAGE6,
+                    env={"SPARKL_CHUNKS_PER_PROGRAM": nr},
+                )
+                if r == "tunnel":
+                    return r
+                res.append(r)
+            return "ok" if all(x == "ok" for x in res) else "fail"
         log(f"unknown stage {key}")
         return "fail"
 

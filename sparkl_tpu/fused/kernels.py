@@ -42,9 +42,15 @@ from sparkl_tpu.models import plasticity as plas
 from sparkl_tpu.sparse.blocks import region_cells, region_side
 from sparkl_tpu.fused import layout as L
 
-# Chunks per Pallas program (VPU sublane batching). max_chunks capacities are
-# kept multiples of this by calibrate_ob2 / the regrow path.
-CHUNKS_PER_PROGRAM = 8
+# Chunks per Pallas program. 8 chunks = [8, C] per-particle tiles (one
+# native (8, 128) vreg per op); LARGER values stack chunks on the sublane
+# axis so each op covers R/8 independent vregs — the per-particle physics is
+# one long serial dependency chain, and multi-vreg ops are the only
+# latency-hiding lever inside it. Env-overridable for ablation
+# (SPARKL_CHUNKS_PER_PROGRAM); max_chunks capacities are kept multiples of
+# 512 by calibrate_ob2 / the regrow paths, so any power-of-two <= 512 works.
+CHUNKS_PER_PROGRAM = int(__import__("os").environ.get(
+    "SPARKL_CHUNKS_PER_PROGRAM", "8"))
 
 # Packed model-table columns (SMEM): f32 [M, 16] = cparams(0:4) | pparams(4:12)
 # | fparams(12:14) | pad; i32 [M, 4] = ctype | ptype | ftype | pad.
@@ -74,14 +80,16 @@ def _out_shape(shape, dtype, vma):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _r_of(cfg, interpret=False):
+def _r_of(cfg, interpret=False, cap=None):
     # Interpreter mode (CPU CI): nr=1 — the kernel body is traced per chunk
     # in a Python loop, so R=8 unrolling octuples trace/compile time for
     # zero benefit off-hardware.
     if interpret:
         return 1
-    r = CHUNKS_PER_PROGRAM
-    return r if cfg.max_chunks % r == 0 else 1
+    r = CHUNKS_PER_PROGRAM if cap is None else min(CHUNKS_PER_PROGRAM, cap)
+    while r > 1 and cfg.max_chunks % r != 0:
+        r //= 2
+    return r
 
 
 def _mat(row, base, d):
@@ -702,7 +710,7 @@ def eigen_pool_fused(grid: GridParams, cfg, e, g, interpret=False, vma=None):
     pooled [D, 8, C] (rows 0/1 = neighbor sums of val0/val1)."""
     d_, kn = g.shape[0], g.shape[1]
     c = cfg.chunk_size
-    nr = _r_of(cfg, interpret)
+    nr = _r_of(cfg, interpret, cap=8)  # [nr, K, ., C] block: VMEM-bound
     kernel = functools.partial(
         _eigen_pool_kernel, grid.dim, float(grid.cell_width), kn, nr
     )
@@ -761,86 +769,97 @@ def _permute_kernel(k_src, nr, g_ref, gi_ref, target_ref, out_ref, outi_ref):
         )
 
 
-def _permute_dma_kernel(k_src, dim, r_cumd, uniq_ref, org_ref, tgt_ref,
+# Destination chunks per DMA-permute program: all ND x <= K source fetches
+# start before the first wait, so HBM latency (~1 us) amortizes over the
+# batch instead of gating every destination chunk.
+PERMUTE_DESTS_PER_PROGRAM = 8
+
+
+def _permute_dma_kernel(k_src, dim, r_cumd, nd, uniq_ref, org_ref, tgt_ref,
                         slots_hbm, ints_hbm, out_f, out_i, scr_f, scr_i, sems):
-    """DMA-permute: for destination chunk i, fetch its (<= K, typically 1-3)
-    source chunk rows straight from HBM with predicated async copies, route
-    lanes by 0/1-selection matmuls, and finalize the drift/origin rows
-    in-kernel. Replaces the XLA pre-gather that amplified resort HBM traffic
-    8x (every destination paid the full K padding) and the two whole-tensor
-    copies for the cumd-zero and origin-row writes (ref: the reference pays
-    its sort in kernels, not host round-trips, cuda_sparse_grid.rs:324-427)."""
+    """DMA-permute: for each destination chunk in the nd-batch, fetch its
+    (<= K, typically 1-3) source chunk rows straight from HBM with predicated
+    async copies, route lanes by 0/1-selection matmuls, and finalize the
+    drift/origin rows in-kernel. Replaces the XLA pre-gather that amplified
+    resort HBM traffic 8x (every destination paid the full K padding) and the
+    two whole-tensor copies for the cumd-zero and origin-row writes (ref: the
+    reference pays its sort in kernels, not host round-trips,
+    cuda_sparse_grid.rs:324-427)."""
     c = out_f.shape[-1]
-
-    for k in range(k_src):
-        cid = uniq_ref[0, 0, k]
-
-        @pl.when(cid >= 0)
-        def _():
-            pltpu.make_async_copy(
-                slots_hbm.at[cid], scr_f.at[k], sems.at[0, k]
-            ).start()
-            pltpu.make_async_copy(
-                ints_hbm.at[cid], scr_i.at[k], sems.at[1, k]
-            ).start()
-
-    for k in range(k_src):
-        cid = uniq_ref[0, 0, k]
-
-        @pl.when(cid >= 0)
-        def _():
-            pltpu.make_async_copy(
-                slots_hbm.at[cid], scr_f.at[k], sems.at[0, k]
-            ).wait()
-            pltpu.make_async_copy(
-                ints_hbm.at[cid], scr_i.at[k], sems.at[1, k]
-            ).wait()
-
-    tgt = tgt_ref[0]  # [1, C] -> row
-    iota_src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     nf = out_f.shape[1]
     ni = out_i.shape[1]
-
-    def routed(k):
-        route = (iota_src + k * c == tgt).astype(jnp.float32)
-        part = _dot(scr_f[k], route)
-        gi = scr_i[k]
-        lo = _dot((gi & jnp.int32(0xFFFF)).astype(jnp.float32), route)
-        hi = _dot(
-            jax.lax.shift_right_logical(gi, 16).astype(jnp.float32), route
-        )
-        return part, lo, hi
-
-    def zero3():
-        return (
-            jnp.zeros((nf, c), jnp.float32),
-            jnp.zeros((ni, c), jnp.float32),
-            jnp.zeros((ni, c), jnp.float32),
-        )
-
-    acc = None
-    acc_lo = None
-    acc_hi = None
-    for k in range(k_src):
-        cid = uniq_ref[0, 0, k]
-        part, lo, hi = jax.lax.cond(cid >= 0, lambda: routed(k), zero3)
-        acc = part if acc is None else acc + part
-        acc_lo = lo if acc_lo is None else acc_lo + lo
-        acc_hi = hi if acc_hi is None else acc_hi + hi
-
-    # Finalize: drift row resets at a sort; origin rows come from the NEW
-    # structure (scalar-prefetched per chunk).
+    iota_src = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nf, c), 0)
-    out_f[0] = jnp.where(row_iota == r_cumd, 0.0, acc)
-    ints_out = acc_lo.astype(jnp.int32) | jax.lax.shift_left(
-        acc_hi.astype(jnp.int32), 16
-    )
     irow_iota = jax.lax.broadcasted_iota(jnp.int32, (ni, c), 0)
-    for ax in range(dim):
-        ints_out = jnp.where(
-            irow_iota == L.I_ORIGIN + ax, org_ref[0, 0, ax], ints_out
+
+    for d in range(nd):
+        for k in range(k_src):
+            cid = uniq_ref[d, 0, k]
+
+            @pl.when(cid >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    slots_hbm.at[cid], scr_f.at[d, k], sems.at[d, 0, k]
+                ).start()
+                pltpu.make_async_copy(
+                    ints_hbm.at[cid], scr_i.at[d, k], sems.at[d, 1, k]
+                ).start()
+
+    for d in range(nd):
+        for k in range(k_src):
+            cid = uniq_ref[d, 0, k]
+
+            @pl.when(cid >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    slots_hbm.at[cid], scr_f.at[d, k], sems.at[d, 0, k]
+                ).wait()
+                pltpu.make_async_copy(
+                    ints_hbm.at[cid], scr_i.at[d, k], sems.at[d, 1, k]
+                ).wait()
+
+        tgt = tgt_ref[d]  # [1, C] -> row
+
+        def routed(k, d=d, tgt=tgt):
+            route = (iota_src + k * c == tgt).astype(jnp.float32)
+            part = _dot(scr_f[d, k], route)
+            gi = scr_i[d, k]
+            lo = _dot((gi & jnp.int32(0xFFFF)).astype(jnp.float32), route)
+            hi = _dot(
+                jax.lax.shift_right_logical(gi, 16).astype(jnp.float32), route
+            )
+            return part, lo, hi
+
+        def zero3():
+            return (
+                jnp.zeros((nf, c), jnp.float32),
+                jnp.zeros((ni, c), jnp.float32),
+                jnp.zeros((ni, c), jnp.float32),
+            )
+
+        acc = None
+        acc_lo = None
+        acc_hi = None
+        for k in range(k_src):
+            cid = uniq_ref[d, 0, k]
+            part, lo, hi = jax.lax.cond(
+                cid >= 0, lambda k=k: routed(k), zero3
+            )
+            acc = part if acc is None else acc + part
+            acc_lo = lo if acc_lo is None else acc_lo + lo
+            acc_hi = hi if acc_hi is None else acc_hi + hi
+
+        # Finalize: drift row resets at a sort; origin rows come from the NEW
+        # structure (scalar-prefetched per chunk).
+        out_f[d] = jnp.where(row_iota == r_cumd, 0.0, acc)
+        ints_out = acc_lo.astype(jnp.int32) | jax.lax.shift_left(
+            acc_hi.astype(jnp.int32), 16
         )
-    out_i[0] = ints_out
+        for ax in range(dim):
+            ints_out = jnp.where(
+                irow_iota == L.I_ORIGIN + ax, org_ref[d, 0, ax], ints_out
+            )
+        out_i[d] = ints_out
 
 
 def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
@@ -853,30 +872,35 @@ def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
     ni = ints.shape[1]
     k_src = uniq.shape[1]
     dim = origin.shape[1]
-    kernel = functools.partial(_permute_dma_kernel, k_src, dim, r_cumd)
+    # interpret: nd=2 still exercises the batch indexing on CPU CI without
+    # the full unroll cost.
+    nd = 2 if interpret else PERMUTE_DESTS_PER_PROGRAM
+    while nd > 1 and d_ % nd != 0:
+        nd //= 2
+    kernel = functools.partial(_permute_dma_kernel, k_src, dim, r_cumd, nd)
     # Per-program SMEM blocks for the source ids / origins (NOT whole-array
     # scalar prefetch: uniq is [D, K] and SMEM is ~1MB — a 1M-particle
     # config blew the budget 6.5x).
     return pl.pallas_call(
         kernel,
-        grid=(d_,),
+        grid=(d_ // nd,),
         in_specs=[
-            pl.BlockSpec((1, 1, k_src), lambda i: (i, 0, 0),
+            pl.BlockSpec((nd, 1, k_src), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, dim), lambda i: (i, 0, 0),
+            pl.BlockSpec((nd, 1, dim), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nd, 1, c), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, nf, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, ni, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nd, nf, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((nd, ni, c), lambda i: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_src, nf, c), jnp.float32),
-            pltpu.VMEM((k_src, ni, c), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, k_src)),
+            pltpu.VMEM((nd, k_src, nf, c), jnp.float32),
+            pltpu.VMEM((nd, k_src, ni, c), jnp.int32),
+            pltpu.SemaphoreType.DMA((nd, 2, k_src)),
         ],
         out_shape=(
             _out_shape((d_, nf, c), jnp.float32, vma),
@@ -887,13 +911,97 @@ def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
       target.reshape(d_, 1, c), slots, ints)
 
 
+# Owner blocks per DMA-merge program: all NB x <= KMAX fetches are started
+# before the first wait, so HBM latency (~1 us) amortizes over the batch
+# instead of gating every block.
+MERGE_BLOCKS_PER_PROGRAM = 8
+
+
+def _merge_dma_kernel(kmax, nb, fn_ref, rows_hbm, out_ref, scr, sems):
+    """Per batch of nb owner blocks: DMA each block's (<= kmax, typically
+    1-4) contiguous chunk image rows straight from HBM and sum them in VMEM.
+    Replaces the XLA [MB, KMAX, width] gather that made every block pay the
+    full-KMAX padding (~3x the streamed bytes at nominal 2-4 chunks/block)."""
+    nc, w = out_ref.shape[1], out_ref.shape[2]
+
+    for b in range(nb):
+        first = fn_ref[b, 0, 0]
+        n = fn_ref[b, 0, 1]
+        for k in range(kmax):
+            @pl.when(k < n)
+            def _():
+                pltpu.make_async_copy(
+                    rows_hbm.at[first + k], scr.at[b, k], sems.at[b, k]
+                ).start()
+
+    zero = jnp.zeros((nc, w), jnp.float32)
+    for b in range(nb):
+        first = fn_ref[b, 0, 0]
+        n = fn_ref[b, 0, 1]
+        for k in range(kmax):
+            @pl.when(k < n)
+            def _():
+                pltpu.make_async_copy(
+                    rows_hbm.at[first + k], scr.at[b, k], sems.at[b, k]
+                ).wait()
+        acc = zero
+        for k in range(kmax):
+            acc = acc + jax.lax.cond(
+                k < n, lambda b=b, k=k: scr[b, k], lambda: zero
+            )
+        out_ref[b] = acc
+
+
+def merge_blocks_dma(cfg, rows, first, nchunks, kmax, interpret=False,
+                     vma=None):
+    """rows [D, ncorners, W] chunk window images (corner-major, merge cell
+    order) + per-block contiguous chunk ranges (first[MB], nchunks[MB],
+    nchunks <= kmax) -> per-owner-block corner sums [MB, ncorners, W].
+
+    The in-kernel-DMA half of the scatter-free merge (see
+    transfer._merge_gather); the caller keeps the 2^d inverse-corner gather
+    and the dense-block scatter fallback."""
+    d_, ncorners, w = rows.shape
+    mb = cfg.max_blocks
+    # interpret: nb=2 still exercises the batch indexing on CPU CI without
+    # the full unroll cost.
+    nb = MERGE_BLOCKS_PER_PROGRAM if not interpret else 2
+    mb_pad = ((mb + nb - 1) // nb) * nb
+    fn = jnp.stack(
+        [first.astype(jnp.int32), nchunks.astype(jnp.int32)], axis=-1
+    )
+    if mb_pad != mb:
+        fn = jnp.concatenate(
+            [fn, jnp.zeros((mb_pad - mb, 2), jnp.int32)], axis=0
+        )  # padded blocks: n = 0 -> zero output row
+    fn = fn.reshape(mb_pad, 1, 2)
+    kernel = functools.partial(_merge_dma_kernel, kmax, nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mb_pad // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nb, ncorners, w), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nb, kmax, ncorners, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((nb, kmax)),
+        ],
+        out_shape=_out_shape((mb_pad, ncorners, w), jnp.float32, vma),
+        interpret=interpret,
+    )(fn, rows)
+    return out[:mb] if mb_pad != mb else out
+
+
 def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None):
     """gathered [D, K, F, C] f32 + gathered_i [D, K, NI, C] i32 + target
     [D, C] (k*C + lane, or >= K*C for 'empty') -> (permuted f32 [D, F, C],
     permuted i32 [D, NI, C])."""
     d_, k_src, f, c = gathered.shape
     ni = gathered_i.shape[2]
-    nr = _r_of(cfg, interpret)
+    nr = _r_of(cfg, interpret, cap=8)  # [nr, K, ., C] block: VMEM-bound
     kernel = functools.partial(_permute_kernel, k_src, nr)
     return pl.pallas_call(
         kernel,

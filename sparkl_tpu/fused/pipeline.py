@@ -164,11 +164,14 @@ class FusedMpmPipeline:
 
     def _grow(self, factor=1.6):
         c = self._cfg
+        q = lambda x, step: -(-int(x) // step) * step
+        # max_chunks stays a multiple of 512 (calibrate_ob2's quantum) so
+        # the kernels keep their full CHUNKS_PER_PROGRAM batch after regrow.
         self._cfg = B.BlockConfig(
-            max_blocks=int(c.max_blocks * factor) + 64,
-            max_chunks=int(c.max_chunks * factor) + 64,
+            max_blocks=q(c.max_blocks * factor + 64, 256),
+            max_chunks=q(c.max_chunks * factor + 64, 512),
             chunk_size=c.chunk_size,
-            max_grid_blocks=int(c.max_grid_blocks * factor) + 64,
+            max_grid_blocks=q(c.max_grid_blocks * factor + 64, 256),
         )
         self._jit = None
         self._ensure_cfg(None)
@@ -199,7 +202,8 @@ class FusedMpmPipeline:
         )
         node = T.merge_images_to_grid(
             grid, cfg, state.structure, images, gather=True,
-            cell_order=cell_order,
+            cell_order=cell_order, dma=not self._interpret,
+            interpret=self._interpret, vma=self._kernel_vma,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
@@ -489,7 +493,8 @@ class FusedMpmPipeline:
         cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
         node = T.merge_images_to_grid(
             grid, cfg, state.structure, images, cell_order=cell_order,
-            gather=True,
+            gather=True, dma=not self._interpret,
+            interpret=self._interpret, vma=self._kernel_vma,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:

@@ -146,7 +146,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
     f_m = jax.jit(
         lambda im: T.merge_images_to_grid(
             grid, cfg, state.structure, im, cell_order=cell_order,
-            gather=True,
+            gather=True, dma=not interp, interpret=interp,
         )
     )
     t.merge, node = timeit(f_m, images)

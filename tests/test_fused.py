@@ -549,3 +549,34 @@ def test_fused_cardano_matches_dense_jacobi():
     finally:
         svd_mod.set_eig3_method(prev)
     _compare(pd, pf, atol_pos=5e-5, atol_vel=1e-3, atol_f=1e-3)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_merge_dma_matches_gather(dim):
+    """The in-kernel-DMA merge (fused path) must reproduce the XLA
+    KMAX-gather merge exactly: identical summation order, only the fetch
+    mechanism differs."""
+    from sparkl_tpu.fused import structure as S
+    from sparkl_tpu.sparse import transfer as T
+    from sparkl_tpu.solver import dense as D
+
+    if dim == 2:
+        grid, models, p = _scene2d(n=14)
+    else:
+        grid, models, p = _scene3d(n=9)
+    cfg = S.calibrate_ob2(grid, p.position, p.active)
+    dtb = D.particle_dt_bounds(grid, p, models)
+    state = L.pack(grid, cfg, p, dtb)
+    rng = np.random.default_rng(3)
+    nf = 1 + dim
+    images = jnp.asarray(
+        rng.normal(size=(cfg.max_chunks, nf, 8**dim)).astype(np.float32)
+    )
+    ref = T.merge_images_to_grid(
+        grid, cfg, state.structure, images, gather=True
+    )
+    out = T.merge_images_to_grid(
+        grid, cfg, state.structure, images, gather=True, dma=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)

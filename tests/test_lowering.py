@@ -112,6 +112,18 @@ def test_aux_kernels_lower_for_tpu(dim):
     e = jnp.zeros((d_, K.EIG_ROWS, c), jnp.float32)
     gg = jnp.zeros((d_, kn, K.EIG_ROWS, c), jnp.float32)
     _lower(lambda a, b: K.eigen_pool_fused(grid, cfg, a, b), e, gg)
+    from sparkl_tpu.sparse import transfer as T
+
+    nc = 2 ** dim
+    rows = jnp.zeros(
+        (d_, nc, (1 + dim) * (4 ** dim)), jnp.float32
+    )
+    first = jnp.zeros((cfg.max_blocks,), jnp.int32)
+    nch = jnp.ones((cfg.max_blocks,), jnp.int32)
+    _lower(
+        lambda r_, f_, n_: K.merge_blocks_dma(cfg, r_, f_, n_, T.MERGE_KMAX),
+        rows, first, nch,
+    )
 
 
 def test_bf16_transfer_dtype_lowers_and_stays_close():
@@ -182,3 +194,26 @@ def test_g2p_cardano_svd_lowers_for_tpu():
         )
     finally:
         svd_mod.set_eig3_method(prev)
+
+
+def test_sublane_stacked_kernels_lower_for_tpu(monkeypatch):
+    """CHUNKS_PER_PROGRAM=32 ([32, C] per-particle tiles = 4 vregs/op for
+    ILP inside the serial physics chain) must lower through Mosaic and fit
+    VMEM-side checks."""
+    monkeypatch.setattr(K, "CHUNKS_PER_PROGRAM", 32)
+    grid, cfg, state, tab_f, tab_i, meta = _setup(3, False)
+    assert K._r_of(cfg) == 32
+    meta = dict(meta, stress_cache=True)
+    dt = jnp.asarray(1e-3)
+    _lower(
+        lambda s, i, d: K.p2g_fused(grid, cfg, meta, s, i, d, tab_f, tab_i),
+        state.slots, state.ints, dt,
+    )
+    win = jnp.zeros((cfg.max_chunks, 3, region_cells(3)), jnp.float32)
+    _lower(
+        lambda s, i, w, d: K.g2p_fused(
+            grid, cfg, meta, dict(gpu_velocity_clamp=False), s, i, w, d,
+            tab_f, tab_i,
+        ),
+        state.slots, state.ints, win, dt,
+    )
