@@ -127,7 +127,7 @@ print(t)
 
 
 def main():
-    stages = os.environ.get("STAGES", "1,2,3,4,5,6")
+    stages = os.environ.get("STAGES", "7,1,2,6,3,4,5")
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
     budget_h = float(os.environ.get("SWEEP_BUDGET_H", "10"))
@@ -159,6 +159,12 @@ def main():
         if key == "5":
             return run_stage("stage5 per-scene fused vs sparse", STAGE5,
                              timeout_s=3600)
+        if key == "7":
+            return run_stage(
+                "stage7 vreg latency probe",
+                "exec(open('scripts/vreg_probe.py').read())",
+                timeout_s=600,
+            )
         if key == "6":
             # Sublane-stacked kernels: per-particle physics is a serial op
             # chain; nr > 8 covers multiple vregs per op (latency hiding).
