@@ -128,6 +128,10 @@ class FusedMpmPipeline:
         # pipeline's hooks so the SAME halo/migration machinery drives the
         # flagship kernels (ref: the reference runs its one hot pipeline
         # under the multi-GPU halo path, cuda_mpm_pipeline.rs:407-533).
+        # In-kernel-DMA merge (merge_blocks_dma) on real hardware; the
+        # XLA KMAX-gather under interpret (identical values, far cheaper to
+        # interpret). Tests may force True to cover DMA+vma on the CPU mesh.
+        self._merge_dma = not self._interpret
         self._halo_fn = None          # (node_table, structure) -> (node, ovf)
         self._dt_reduce = None        # dt -> dt (lax.pmin)
         self._need_sync = None        # resort trigger bool -> global bool
@@ -202,7 +206,7 @@ class FusedMpmPipeline:
         )
         node = T.merge_images_to_grid(
             grid, cfg, state.structure, images, gather=True,
-            cell_order=cell_order, dma=not self._interpret,
+            cell_order=cell_order, dma=self._merge_dma,
             interpret=self._interpret, vma=self._kernel_vma,
         )
         halo_ov = jnp.asarray(False)
@@ -493,7 +497,7 @@ class FusedMpmPipeline:
         cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
         node = T.merge_images_to_grid(
             grid, cfg, state.structure, images, cell_order=cell_order,
-            gather=True, dma=not self._interpret,
+            gather=True, dma=self._merge_dma,
             interpret=self._interpret, vma=self._kernel_vma,
         )
         halo_ov = jnp.asarray(False)

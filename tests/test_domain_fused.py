@@ -244,3 +244,26 @@ def test_domain_fused_rebalance():
     pos_d, vel_d, _ = _sorted_state(pd)
     np.testing.assert_allclose(pos_s, pos_d, atol=1e-6)
     np.testing.assert_allclose(vel_s, vel_d, atol=1e-5)
+
+
+def test_domain_fused_merge_dma_matches_xla_merge():
+    """The in-kernel-DMA merge under shard_map (vma-threaded pallas outputs)
+    must match the XLA KMAX-gather merge on the distributed substep."""
+    grid, models, colliders, gravity, p = _scene()
+    params = sk.SolverParameters(dt=1.0 / 60.0, stop_after_one_substep=True)
+    a = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    b = DomainFusedPipeline(
+        grid, models, colliders, params, gravity,
+        max_halo_blocks=128, max_migrants=512,
+    )
+    b._merge_dma = True  # force the hardware path under interpret
+    pa, _ = a.step_with_stats(a.distribute(p))
+    pb, _ = b.step_with_stats(b.distribute(p))
+    pos_a, vel_a, f_a = _sorted_state(pa)
+    pos_b, vel_b, f_b = _sorted_state(pb)
+    np.testing.assert_allclose(pos_a, pos_b, atol=0, rtol=0)
+    np.testing.assert_allclose(vel_a, vel_b, atol=0, rtol=0)
+    np.testing.assert_allclose(f_a, f_b, atol=0, rtol=0)
