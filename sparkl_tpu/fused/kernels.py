@@ -97,7 +97,14 @@ def _mat(row, base, d):
 
 
 def _select_param(tab_ref, mid, m_count, col):
-    """Per-slot parameter [R, C]: masked blend over the model table rows."""
+    """Per-slot parameter: masked blend over the model table rows.
+
+    m_count == 1 returns the SMEM scalar itself (every slot, active or
+    garbage, has mid == 0): parameter-only math (e.g. the DP alpha's
+    exp/sin) then runs on the scalar core and stays out of the vector
+    dependency chain, and [R, C] parameter tiles stop occupying vregs."""
+    if m_count == 1:
+        return tab_ref[0, col]
     acc = jnp.zeros(mid.shape, jnp.float32)
     for m in range(m_count):
         acc = jnp.where(mid == m, tab_ref[m, col], acc)
@@ -105,6 +112,8 @@ def _select_param(tab_ref, mid, m_count, col):
 
 
 def _select_itype(tab_ref, mid, m_count, col):
+    if m_count == 1:
+        return tab_ref[0, col]
     acc = jnp.zeros(mid.shape, jnp.int32)
     for m in range(m_count):
         acc = jnp.where(mid == m, tab_ref[m, col], acc)
