@@ -580,3 +580,42 @@ def test_merge_dma_matches_gather(dim):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("dim,nr", [(2, 8), (2, 32), (3, 8)])
+def test_fused_matches_dense_batched_programs(dim, nr, monkeypatch):
+    """Numerical equivalence with chunk batching ACTIVE (nr chunks per Pallas
+    program). Interpret mode normally forces nr=1, so the per-program batch
+    logic — sublane-stacked [nr, C] physics tiles, the per-chunk window-dot
+    loops, per-chunk SMEM scalar indexing — is otherwise only ever *lowered*
+    in CI (test_lowering), never executed. This pins the TPU default (nr=8)
+    and the latency-hiding candidate (nr=32) to the dense reference."""
+    from sparkl_tpu.fused import kernels as K
+
+    def _r_batched(cfg, interpret=False, cap=None):
+        r = nr if cap is None else min(nr, cap)
+        while r > 1 and cfg.max_chunks % r != 0:
+            r //= 2
+        return r
+
+    monkeypatch.setattr(K, "_r_of", _r_batched)
+
+    if dim == 2:
+        grid, models, p = _scene2d(14)
+        colliders = [sk.cuboid((100.0, 0.5), translation=(0.0, 0.25), friction=0.3)]
+        gravity = [0.0, -9.81]
+    else:
+        grid, models, p = _scene3d(8)
+        colliders = [
+            sk.cuboid((100.0, 0.5, 100.0), translation=(0.0, 0.25, 0.0), friction=0.3)
+        ]
+        gravity = [0.0, -9.81, 0.0]
+
+    params = sk.SolverParameters(dt=1.0 / 60.0)
+    dpipe = MpmPipeline(grid, models, colliders, params, gravity)
+    fpipe = FusedMpmPipeline(
+        grid, models, colliders, params, gravity, use_pallas="interpret"
+    )
+    pd = dpipe.step(jax.tree_util.tree_map(jnp.array, p))
+    pf = fpipe.step(p)
+    _compare(pd, pf)
