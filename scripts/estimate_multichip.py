@@ -59,7 +59,12 @@ def main():
     qs = np.quantile(xs, np.linspace(0, 1, s_chips + 1))
     cfgs = []
     for s in range(s_chips):
-        m = act & (pos[:, 0] >= qs[s]) & (pos[:, 0] <= qs[s + 1])
+        # Half-open slabs: a particle exactly on an interior quantile edge
+        # belongs to one shard only (lattice x-positions often coincide
+        # with the edges, and double-counting inflates the byte estimates).
+        hi = (pos[:, 0] <= qs[s + 1]) if s == s_chips - 1 \
+            else (pos[:, 0] < qs[s + 1])
+        m = act & (pos[:, 0] >= qs[s]) & hi
         if m.sum() == 0:
             continue
         cfgs.append(FS.calibrate_ob2(grid, pos, m))

@@ -51,6 +51,12 @@ from sparkl_tpu.fused import layout as L
 # 512 by calibrate_ob2 / the regrow paths, so any power-of-two <= 512 works.
 CHUNKS_PER_PROGRAM = int(__import__("os").environ.get(
     "SPARKL_CHUNKS_PER_PROGRAM", "8"))
+if CHUNKS_PER_PROGRAM < 1 or (CHUNKS_PER_PROGRAM & (CHUNKS_PER_PROGRAM - 1)):
+    raise ValueError(
+        "SPARKL_CHUNKS_PER_PROGRAM must be a positive power of two "
+        f"(got {CHUNKS_PER_PROGRAM}); non-power-of-two values would "
+        "silently decay to a smaller batch in _r_of"
+    )
 
 # Packed model-table columns (SMEM): f32 [M, 16] = cparams(0:4) | pparams(4:12)
 # | fparams(12:14) | pad; i32 [M, 4] = ctype | ptype | ftype | pad.

@@ -715,11 +715,15 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
 
     def _grow(self, factor=1.6):
         c = self._cfg
+        q = lambda x, step: -(-int(x) // step) * step
+        # max_chunks stays a multiple of 512 (calibrate_ob2's quantum) so
+        # the kernels keep their full CHUNKS_PER_PROGRAM batch after regrow
+        # (same contract as FusedMpmPipeline._grow).
         self._cfg = B.BlockConfig(
-            max_blocks=int(c.max_blocks * factor) + 64,
-            max_chunks=-(-(int(c.max_chunks * factor) + 64) // 8) * 8,
+            max_blocks=q(c.max_blocks * factor + 64, 256),
+            max_chunks=q(c.max_chunks * factor + 64, 512),
             chunk_size=c.chunk_size,
-            max_grid_blocks=int(c.max_grid_blocks * factor) + 64,
+            max_grid_blocks=q(c.max_grid_blocks * factor + 64, 256),
         )
         self.max_halo_blocks = int(self.max_halo_blocks * factor) + 64
         self.max_migrants = int(self.max_migrants * factor) + 64

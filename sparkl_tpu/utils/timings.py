@@ -168,6 +168,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
             grid, gs, pipe.colliders, dt, params.boundary_handling,
             params.simulation_dofs, node_positions=node_pos,
             projections=projections,
+            gpu_boundary_semantics=params.gpu_boundary_semantics,
         )
         return gs.velocity.at[cfg.max_grid_blocks].set(0.0)
 
@@ -281,8 +282,11 @@ def profile_resort(pipe, particles, iters=20) -> ResortTimings:
         occ2 = occupied.reshape(d_, c)
         ok, ckey, occ_count = S.detect_chunk_relabel(grid, cfg, key_eff, occ2)
         st = S.structure_from_chunk_keys(grid, cfg, ckey, occ_count)
-        slots = slots.at[:, r.cumd, :].set(0.0)
-        ints = L._write_origin_rows(ints, st, dim)
+        # Mirror layout.resort's relabel branch exactly, including the
+        # occupancy-masked pad zeroing over the full slot tensors.
+        om = occ2[:, None, :]
+        slots = jnp.where(om, slots, 0.0).at[:, r.cumd, :].set(0.0)
+        ints = L._write_origin_rows(jnp.where(om, ints, 0), st, dim)
         return ok, slots, ints, st.num_blocks
 
     t.relabel, _ = timeit(f_relabel, state.slots, state.ints)
