@@ -267,3 +267,25 @@ def test_domain_fused_merge_dma_matches_xla_merge():
     np.testing.assert_allclose(pos_a, pos_b, atol=0, rtol=0)
     np.testing.assert_allclose(vel_a, vel_b, atol=0, rtol=0)
     np.testing.assert_allclose(f_a, f_b, atol=0, rtol=0)
+
+
+def test_domain_fused_grow_keeps_capacity_quanta():
+    """Regrow must preserve the calibration quanta (max_chunks % 512 == 0)
+    so the kernels keep their full CHUNKS_PER_PROGRAM sublane batch after a
+    capacity overflow (same contract as FusedMpmPipeline._grow)."""
+    from sparkl_tpu.sparse import blocks as B
+
+    pipe = object.__new__(DomainFusedPipeline)
+    pipe._cfg = B.BlockConfig(
+        max_blocks=300, max_chunks=520, chunk_size=8, max_grid_blocks=300
+    )
+    pipe.max_halo_blocks = 100
+    pipe.max_migrants = 50
+    pipe.max_ghosts = 32
+    DomainFusedPipeline._grow(pipe)
+    c = pipe._cfg
+    assert c.max_chunks % 512 == 0
+    assert c.max_blocks % 256 == 0 and c.max_grid_blocks % 256 == 0
+    assert c.max_chunks >= 520 * 1.6 and c.max_blocks >= 300 * 1.6
+    assert pipe.max_halo_blocks > 100 and pipe.max_migrants > 50
+    assert pipe.max_ghosts > 32
