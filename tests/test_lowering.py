@@ -196,13 +196,18 @@ def test_g2p_cardano_svd_lowers_for_tpu():
         svd_mod.set_eig3_method(prev)
 
 
-def test_sublane_stacked_kernels_lower_for_tpu(monkeypatch):
-    """CHUNKS_PER_PROGRAM=32 ([32, C] per-particle tiles = 4 vregs/op for
-    ILP inside the serial physics chain) must lower through Mosaic and fit
-    VMEM-side checks."""
-    monkeypatch.setattr(K, "CHUNKS_PER_PROGRAM", 32)
+import pytest
+
+
+@pytest.mark.parametrize("nr", [16, 32, 64])
+def test_sublane_stacked_kernels_lower_for_tpu(monkeypatch, nr):
+    """Every sweep candidate for CHUNKS_PER_PROGRAM ([nr, C] per-particle
+    tiles = nr/8 vregs/op for ILP inside the serial physics chain) must
+    lower through Mosaic and fit VMEM-side checks — a lowering failure must
+    surface here on CPU, not burn a tunnel-up slot in the TPU sweep."""
+    monkeypatch.setattr(K, "CHUNKS_PER_PROGRAM", nr)
     grid, cfg, state, tab_f, tab_i, meta = _setup(3, False)
-    assert K._r_of(cfg) == 32
+    assert K._r_of(cfg) == nr
     meta = dict(meta, stress_cache=True)
     dt = jnp.asarray(1e-3)
     _lower(
