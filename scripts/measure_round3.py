@@ -127,7 +127,7 @@ print(t)
 
 
 def main():
-    stages = os.environ.get("STAGES", "7,1,2,6,3,4,5")
+    stages = os.environ.get("STAGES", "7,1,2,6,3,4,5,8")
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
     budget_h = float(os.environ.get("SWEEP_BUDGET_H", "10"))
@@ -159,6 +159,26 @@ def main():
         if key == "5":
             return run_stage("stage5 per-scene fused vs sparse", STAGE5,
                              timeout_s=3600)
+        if key == "8":
+            # Combined-lever bench runs: the default flip wants the COMBO
+            # measured, not each lever in isolation (stages 3/4/6 do those).
+            combos = [
+                ("nr32", {"SPARKL_CHUNKS_PER_PROGRAM": "32"}),
+                ("nr32+cardano", {"SPARKL_CHUNKS_PER_PROGRAM": "32",
+                                  "SPARKL_EIG3": "cardano"}),
+                ("nr32+cardano+bf16", {"SPARKL_CHUNKS_PER_PROGRAM": "32",
+                                       "SPARKL_EIG3": "cardano",
+                                       "SPARKL_BENCH_DTYPE": "bfloat16"}),
+            ]
+            res = []
+            for name, env in combos:
+                env = dict(env, SPARKL_BENCH_TUNNEL_WAIT="60")
+                r = run_stage(f"stage8 bench combo {name}",
+                              "exec(open('bench.py').read())", env=env)
+                if r == "tunnel":
+                    return r
+                res.append(r)
+            return "ok" if all(x == "ok" for x in res) else "fail"
         if key == "7":
             return run_stage(
                 "stage7 vreg latency probe",

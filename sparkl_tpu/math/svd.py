@@ -34,8 +34,11 @@ _JACOBI_SWEEPS = 4
 # 3x3 eigensolver backend for svd3x3_c: "jacobi" (iterative, most accurate)
 # or "cardano" (closed-form trig eigenvalues + cross-product eigenvectors —
 # ~2x fewer VPU ops; the in-kernel SVD is the dominant per-particle cost).
-# Switch with set_eig3_method; per-call override via svd3x3_c(f, method=...).
-_EIG3_METHOD = "jacobi"
+# Switch with set_eig3_method; per-call override via svd3x3_c(f, method=...);
+# SPARKL_EIG3=cardano sets the process default (bench/sweep combo runs).
+_EIG3_METHOD = __import__("os").environ.get("SPARKL_EIG3", "jacobi")
+if _EIG3_METHOD not in ("jacobi", "cardano"):
+    raise ValueError(f"SPARKL_EIG3 must be jacobi|cardano, got {_EIG3_METHOD}")
 
 
 def set_eig3_method(method: str):
