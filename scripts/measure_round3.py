@@ -126,8 +126,37 @@ print(t)
 """
 
 
+STAGE9 = """
+import sys, time; sys.path.insert(0, '.')
+import jax, jax.numpy as jnp
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.sparse import transfer as T
+from sparkl_tpu.fused import kernels as K
+from sparkl_tpu.utils.timings import _null_ms, _sync
+b = scenes.build('sand3', nx=100, ny=50, nz=50)
+pipe = FusedMpmPipeline(b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks)
+pipe._ensure_cfg(b.particles)
+state = pipe._pack(b.particles)
+images = K.p2g_fused(pipe.grid, pipe._cfg, pipe._meta, state.slots,
+                     state.ints, jnp.float32(1e-3), pipe._tab_f, pipe._tab_i)
+null = _null_ms(20)
+for dma in (False, True):
+    f = jax.jit(lambda im: T.merge_images_to_grid(
+        pipe.grid, pipe._cfg, state.structure, im,
+        cell_order=T.ZMAJOR_ORDER_3D, gather=True, dma=dma))
+    r = f(images); _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r = f(images)
+    _sync(r)
+    ms = (time.perf_counter() - t0) / 20 * 1000.0 - null
+    print(f"merge dma={dma}: {ms:.2f} ms", flush=True)
+"""
+
+
 def main():
-    stages = os.environ.get("STAGES", "7,1,2,6,3,4,5,8")
+    stages = os.environ.get("STAGES", "7,1,2,9,6,3,4,5,8")
     if "--stages" in sys.argv:
         stages = sys.argv[sys.argv.index("--stages") + 1]
     budget_h = float(os.environ.get("SWEEP_BUDGET_H", "10"))
@@ -179,6 +208,8 @@ def main():
                     return r
                 res.append(r)
             return "ok" if all(x == "ok" for x in res) else "fail"
+        if key == "9":
+            return run_stage("stage9 merge dma-vs-xla", STAGE9, timeout_s=900)
         if key == "7":
             return run_stage(
                 "stage7 vreg latency probe",

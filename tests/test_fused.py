@@ -582,7 +582,7 @@ def test_merge_dma_matches_gather(dim):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("dim,nr", [(2, 8), (2, 32), (3, 8)])
+@pytest.mark.parametrize("dim,nr", [(2, 8), (2, 16), (2, 32), (2, 64), (3, 8)])
 def test_fused_matches_dense_batched_programs(dim, nr, monkeypatch):
     """Numerical equivalence with chunk batching ACTIVE (nr chunks per Pallas
     program). Interpret mode normally forces nr=1, so the per-program batch
