@@ -201,6 +201,46 @@ def _acc(acc, v):
     return v if acc is None else acc + v
 
 
+def _type_mask(sel, code, present, m_count, exhaustive=False):
+    """Per-slot mask for "model type == code", folded to a STATIC bool when
+    the scene makes it knowable at trace time: single-model scenes (the
+    flagship bench shape) then skip every masked type blend in the kernels —
+    the where_mat selects, the unused-branch math (e.g. the solid F-update
+    matmul in a fluid scene), and the zeros/inf default broadcasts.
+
+    Returns True (statically all slots), False (statically none), or the
+    runtime [R, C] / scalar compare. `sel` is _select_itype's result; with
+    m_count == 1 it is the single model's SMEM scalar, and `present` (a
+    static tuple from ModelSet.pack) pins its value at trace time.
+
+    `exhaustive=True` asserts `present` covers EVERY model (true for
+    present_c — every model has a ctype; NOT for present_p/present_f, which
+    exclude the NONE codes), letting multi-model single-type scenes fold
+    statically too."""
+    if code not in present:
+        return False
+    if m_count == 1 or (exhaustive and len(present) == 1):
+        return True
+    return sel == code
+
+
+def _where_t(m, a, b):
+    """jnp.where with a _type_mask predicate (static bools short-circuit)."""
+    if m is True:
+        return a
+    if m is False:
+        return b
+    return jnp.where(m, a, b)
+
+
+def _where_mat_t(m, a, b):
+    if m is True:
+        return a
+    if m is False:
+        return b
+    return cmat.where_mat(m, a, b)
+
+
 def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
     """In-kernel mirror of registry.kirchhoff_stress (component-wise)."""
     m_count, present_c = meta["m_count"], meta["present_c"]
@@ -209,10 +249,12 @@ def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
     stress = cmat.zeros_like_mat(f)
     if con.COROTATED in present_c:
         s = con.corotated_kirchhoff_stress_c(p[0], p[1], p[3], phase, eh, f)
-        stress = cmat.where_mat(ct == con.COROTATED, s, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.COROTATED, present_c, m_count, exhaustive=True), s, stress)
     if con.NEO_HOOKEAN in present_c:
         s = con.neo_hookean_kirchhoff_stress_c(p[0], p[1], phase, eh, f)
-        stress = cmat.where_mat(ct == con.NEO_HOOKEAN, s, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.NEO_HOOKEAN, present_c, m_count, exhaustive=True), s, stress)
     if con.EOS_MONAGHAN_SPH in present_c:
         fluid_j = f[0][0]
         density_fluid = (mass / jnp.maximum(vol0, 1e-30)) / jnp.maximum(
@@ -221,7 +263,8 @@ def _kirchhoff_stress_c(meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0):
         s = con.eos_kirchhoff_stress_c(
             p[0], p[1], p[2], p[3], mass, vol0, density_fluid, fluid_j, g
         )
-        stress = cmat.where_mat(ct == con.EOS_MONAGHAN_SPH, s, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.EOS_MONAGHAN_SPH, present_c, m_count, exhaustive=True), s, stress)
     return stress
 
 
@@ -237,10 +280,10 @@ def _pos_energy_c(meta, tab_f, tab_i, mid, phase, eh, f, s=None):
             e = con.corotated_pos_energy_from_s_c(p[0], p[1], eh, f, s)
         else:
             e = con.corotated_pos_energy_c(p[0], p[1], eh, f)
-        out = jnp.where(ct == con.COROTATED, e, out)
+        out = _where_t(_type_mask(ct, con.COROTATED, present_c, m_count, exhaustive=True), e, out)
     if con.NEO_HOOKEAN in present_c:
         e = con.neo_hookean_pos_energy_c(p[0], p[1], phase, eh, f)
-        out = jnp.where(ct == con.NEO_HOOKEAN, e, out)
+        out = _where_t(_type_mask(ct, con.NEO_HOOKEAN, present_c, m_count, exhaustive=True), e, out)
     return out
 
 
@@ -269,10 +312,12 @@ def _cached_stress_epilogue_c(meta, tab_f, tab_i, mid, phase, eh, f, usv):
         st = con.corotated_kirchhoff_stress_from_svd_c(
             p[0], p[1], p[3], phase, eh, f, u, s, v
         )
-        stress = cmat.where_mat(ct == con.COROTATED, st, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.COROTATED, present_c, m_count, exhaustive=True), st, stress)
     if con.NEO_HOOKEAN in present_c:
         st = con.neo_hookean_kirchhoff_stress_c(p[0], p[1], phase, eh, f)
-        stress = cmat.where_mat(ct == con.NEO_HOOKEAN, st, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.NEO_HOOKEAN, present_c, m_count, exhaustive=True), st, stress)
     return stress
 
 
@@ -294,7 +339,9 @@ def _cached_stress_read_c(meta, tab_f, tab_i, mid, row, rows, f, g, mass, vol0):
         s_eos = con.eos_kirchhoff_stress_c(
             p[0], p[1], p[2], p[3], mass, vol0, density_fluid, fluid_j, g
         )
-        stress = cmat.where_mat(ct == con.EOS_MONAGHAN_SPH, s_eos, stress)
+        stress = _where_mat_t(
+            _type_mask(ct, con.EOS_MONAGHAN_SPH, present_c, m_count, exhaustive=True),
+            s_eos, stress)
     return stress
 
 
@@ -309,12 +356,12 @@ def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
         bulk = (p[0] + 2.0 * p[1] / 3.0) * eh
         shear = p[1] * eh
         b = con.sound_speed_timestep_bound_c(p[2], bulk, shear, density0, vnorm, cell_width)
-        out = jnp.where(ct == con.COROTATED, b, out)
+        out = _where_t(_type_mask(ct, con.COROTATED, present_c, m_count, exhaustive=True), b, out)
     if con.NEO_HOOKEAN in present_c:
         bulk = (p[0] + 2.0 * p[1] / 3.0) * eh
         shear = p[1] * eh
         b = con.sound_speed_timestep_bound_c(p[2], bulk, shear, density0, vnorm, cell_width)
-        out = jnp.where(ct == con.NEO_HOOKEAN, b, out)
+        out = _where_t(_type_mask(ct, con.NEO_HOOKEAN, present_c, m_count, exhaustive=True), b, out)
     if con.EOS_MONAGHAN_SPH in present_c:
         fluid_j = f[0][0]
         density_fluid = density0 / jnp.maximum(fluid_j, 1e-20)
@@ -322,7 +369,8 @@ def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
             p[0], p[1], p[3], fluid_j, mass, vol0, density_fluid, vsq,
             cell_width, dim,
         )
-        out = jnp.where(ct == con.EOS_MONAGHAN_SPH, b, out)
+        out = _where_t(
+            _type_mask(ct, con.EOS_MONAGHAN_SPH, present_c, m_count, exhaustive=True), b, out)
     return out
 
 
@@ -1147,7 +1195,7 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
     psi_pos = row(r.psi_pos)
     f = _mat(row, r.defgrad, dim)
     ct = _select_itype(tab_i, mid, m_count, 0)
-    is_fluid = ct == con.EOS_MONAGHAN_SPH
+    is_fluid = _type_mask(ct, con.EOS_MONAGHAN_SPH, meta["present_c"], m_count, exhaustive=True)
 
     if meta["damage_model"] == 3:  # DamageModel.MODIFIED_EIGENEROSION
         cpf = row(r.cpf)
@@ -1168,12 +1216,22 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
         ]
     pos = [row(r.pos + ax) + vel[ax] * dt for ax in range(dim)]
 
-    # Deformation gradient update.
-    gf = cmat.matmul_c(g, f)
-    f_solid = [[f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)]
-    f00_fluid = f[0][0] + det * dt * f[0][0]
-    f = cmat.where_mat(is_fluid, f, f_solid)
-    f[0][0] = jnp.where(is_fluid, f00_fluid, f[0][0])
+    # Deformation gradient update (all-fluid scenes skip the solid F-update
+    # matmul statically; all-solid scenes skip the fluid-J row and blends).
+    if is_fluid is True:
+        f = [list(fr) for fr in f]
+        f[0][0] = f[0][0] + det * dt * f[0][0]
+    elif is_fluid is False:
+        gf = cmat.matmul_c(g, f)
+        f = [[f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)]
+    else:
+        gf = cmat.matmul_c(g, f)
+        f_solid = [
+            [f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)
+        ]
+        f00_fluid = f[0][0] + det * dt * f[0][0]
+        f = cmat.where_mat(is_fluid, f, f_solid)
+        f[0][0] = jnp.where(is_fluid, f00_fluid, f[0][0])
 
     # Plastic return mapping (masked per present type).
     pt = _select_itype(tab_i, mid, m_count, 1)
@@ -1199,42 +1257,47 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
             f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(
                 pp, phase, f, pdd, ph, lvg
             )
-        m = pt == plas.DRUCKER_PRAGER
+        m = _type_mask(pt, plas.DRUCKER_PRAGER, present_p, m_count)
         if svd_reuse:
             usv = (
                 usv[0],
-                [jnp.where(m, ss, s0) for ss, s0 in zip(s_sel, usv[1])],
+                [_where_t(m, ss, s0) for ss, s0 in zip(s_sel, usv[1])],
                 usv[2],
             )
-        f = cmat.where_mat(m, f2, f)
-        pdd = jnp.where(m, pdd2, pdd)
-        ph = jnp.where(m, ph2, ph)
-        lvg = jnp.where(m, lvg2, lvg)
+        f = _where_mat_t(m, f2, f)
+        pdd = _where_t(m, pdd2, pdd)
+        ph = _where_t(m, ph2, ph)
+        lvg = _where_t(m, lvg2, lvg)
     if plas.NACC in present_p:
         f2, na2 = plas.nacc_update_c(pp[:6], f, nacc_a)
-        m = pt == plas.NACC
-        f = cmat.where_mat(m, f2, f)
-        nacc_a = jnp.where(m, na2, nacc_a)
+        m = _type_mask(pt, plas.NACC, present_p, m_count)
+        f = _where_mat_t(m, f2, f)
+        nacc_a = _where_t(m, na2, nacc_a)
     if plas.RANKINE in present_p:
         f2, ph2 = plas.rankine_update_c(pp[:4], f, ph)
-        m = pt == plas.RANKINE
-        f = cmat.where_mat(m, f2, f)
-        ph = jnp.where(m, ph2, ph)
+        m = _type_mask(pt, plas.RANKINE, present_p, m_count)
+        f = _where_mat_t(m, f2, f)
+        ph = _where_t(m, ph2, ph)
     if plas.SNOW in present_p:
         f2, eh2, pdd2 = plas.snow_update_c(pp[:3], f, eh, pdd)
-        m = pt == plas.SNOW
-        f = cmat.where_mat(m, f2, f)
-        eh = jnp.where(m, eh2, eh)
-        pdd = jnp.where(m, pdd2, pdd)
+        m = _type_mask(pt, plas.SNOW, present_p, m_count)
+        f = _where_mat_t(m, f2, f)
+        eh = _where_t(m, eh2, eh)
+        pdd = _where_t(m, pdd2, pdd)
 
     # Static particles.
     zero = jnp.zeros_like(vel[0])
     vel = [jnp.where(is_static, 0.0, v) for v in vel]
     g = cmat.where_mat(is_static, cmat.zeros_like_mat(g), g)
 
-    # Failure guards: det(F)=0, already failed, |F00| blowup.
+    # Failure guards: det(F)=0, already failed, |F00| blowup (solids only).
     detf = cmat.det_c(f)
-    broken = (detf == 0.0) | failed | (~is_fluid & (jnp.abs(f[0][0]) > 1.0e4))
+    broken = (detf == 0.0) | failed
+    if is_fluid is not True:
+        blow = jnp.abs(f[0][0]) > 1.0e4
+        if is_fluid is not False:
+            blow = ~is_fluid & blow
+        broken = broken | blow
     f = cmat.where_mat(broken, cmat.identity_c(dim, zero), f)
     g = cmat.where_mat(broken, cmat.zeros_like_mat(g), g)
     failed_new = failed | broken
@@ -1272,7 +1335,8 @@ def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
         tripped = jnp.zeros_like(phase, dtype=bool)
         if fail.MAXIMUM_STRESS in present_f:
             t = fail.maximum_stress_failed_c(fp[0], fp[1], stress)
-            tripped = tripped | ((ft == fail.MAXIMUM_STRESS) & t)
+            m = _type_mask(ft, fail.MAXIMUM_STRESS, present_f, m_count)
+            tripped = tripped | (t if m is True else (m & t))
         phase = jnp.where(tripped, 0.0, phase)
 
     # Out-of-grid marking from the NEW positions — identical to the dense
