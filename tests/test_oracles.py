@@ -230,3 +230,67 @@ def test_dense_pipeline_matches_independent_numpy_mlsmpm():
     np.testing.assert_allclose(vj, v, atol=1e-5)
     np.testing.assert_allclose(fj, F, atol=1e-6)
     np.testing.assert_allclose(cj, C, atol=1e-4)
+
+
+def test_elastic_vibration_period_closed_form():
+    """Free-free longitudinal vibration of an elastic bar: the fundamental
+    period is T = 2L/c with c = sqrt(E/rho0) (nu = 0 makes the thin-rod and
+    plane-strain sound speeds coincide and kills Poisson coupling). The
+    initial velocity is the exact mode-1 profile v_x = A cos(pi x_hat / L),
+    and the modal coordinate q(t) = sum m v_x cos(pi x_hat / L) evolves as
+    cos(omega t). This pins the E,nu,rho -> Lame -> stress -> wave-speed
+    chain to an analytic value: e.g. a mu/lambda swap shifts the measured
+    period by sqrt(2) and fails this test, while passing every
+    self-referential golden replay."""
+    E, nu, rho0 = 1.0e4, 0.0, 1000.0
+    c = np.sqrt(E / rho0)               # 3.1623 m/s
+    grid = GridParams(origin=(0.0, 0.0), cell_width=0.05, res=(128, 128))
+    models = registry.ModelSet.pack(
+        [registry.ParticleModel(registry.corotated_linear_elasticity(E, nu))]
+    )
+    r = 0.0125  # spacing 0.025 -> 32 particles across L, 16 cells across L
+    nx, ny = 32, 4
+    p = sk.cube_particles(
+        origin=(2.0, 3.0), counts=(nx, ny), model_id=0,
+        particle_radius=r, density0=rho0,
+    )
+    pos0 = np.asarray(p.position).copy()
+    # Physical bar length: center extent + one particle radius each side.
+    L = pos0[:, 0].max() - pos0[:, 0].min() + 2.0 * r
+    xhat = (pos0[:, 0] - pos0[:, 0].min() + r) / L  # material coord in [0,1]
+    mode = np.cos(np.pi * xhat).astype(np.float32)
+    A = 0.05
+    vel = np.zeros_like(pos0)
+    vel[:, 0] = A * mode
+    p = p.replace(velocity=jnp.asarray(vel))
+
+    dt = 1e-3  # well under the sound CFL bound h/c ~ 0.016
+    params = sk.SolverParameters(dt=dt, stop_after_one_substep=True)
+    pipe = _pipe(grid, models, params, [0.0, 0.0])
+
+    T_expect = 2.0 * L / c
+    mass = np.asarray(p.mass)
+    pj = jax.tree_util.tree_map(jnp.array, p)
+    crossings = []
+    q_prev = float(np.sum(mass * vel[:, 0] * mode))
+    assert q_prev > 0.0
+    n_steps = int(1.2 * T_expect / dt)
+    for k in range(1, n_steps + 1):
+        pj = pipe.step(pj)
+        q = float(np.sum(mass * np.asarray(pj.velocity)[:, 0] * mode))
+        if q_prev != 0.0 and (q < 0.0) != (q_prev < 0.0):
+            # Linear interpolation of the crossing time inside the step.
+            frac = q_prev / (q_prev - q)
+            crossings.append((k - 1 + frac) * dt)
+            if len(crossings) == 2:
+                break
+        q_prev = q
+    assert len(crossings) == 2, f"only {len(crossings)} zero crossings seen"
+    T_measured = 2.0 * (crossings[1] - crossings[0])
+    # Quadratic B-spline MPM at 16 cells/wavelength carries a few percent of
+    # numerical dispersion and the bar-length definition another ~2%; 10%
+    # still distinguishes every plausible formula error (mu/lambda swap:
+    # +41%, E vs 2mu: +-29%, plane-strain vs rod: exact here since nu = 0).
+    assert abs(T_measured - T_expect) / T_expect < 0.10, (
+        f"period {T_measured:.4f}s vs analytic {T_expect:.4f}s"
+    )
