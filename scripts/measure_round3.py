@@ -171,17 +171,16 @@ def main():
         if key == "3":
             return run_stage(
                 "stage3 kernel ablation",
-                "import sys; sys.path.insert(0, '.'); "
-                "sys.argv=['ablate_kernels.py']; "
-                "exec(open('scripts/ablate_kernels.py').read())",
+                "import sys, runpy; sys.argv=['ablate_kernels.py']; "
+                "runpy.run_path('scripts/ablate_kernels.py', run_name='__main__')",
                 timeout_s=2400,
             )
         if key == "4":
-            a = run_stage("stage4 bench f32", "exec(open('bench.py').read())",
+            a = run_stage("stage4 bench f32", "import runpy; runpy.run_path('bench.py', run_name='__main__')",
                           env={"SPARKL_BENCH_TUNNEL_WAIT": "60"})
             if a == "tunnel":
                 return a
-            b = run_stage("stage4 bench bf16", "exec(open('bench.py').read())",
+            b = run_stage("stage4 bench bf16", "import runpy; runpy.run_path('bench.py', run_name='__main__')",
                           env={"SPARKL_BENCH_DTYPE": "bfloat16",
                                "SPARKL_BENCH_TUNNEL_WAIT": "60"})
             return b if b == "tunnel" else ("ok" if (a, b) == ("ok", "ok") else "fail")
@@ -203,7 +202,7 @@ def main():
             for name, env in combos:
                 env = dict(env, SPARKL_BENCH_TUNNEL_WAIT="60")
                 r = run_stage(f"stage8 bench combo {name}",
-                              "exec(open('bench.py').read())", env=env)
+                              "import runpy; runpy.run_path('bench.py', run_name='__main__')", env=env)
                 if r == "tunnel":
                     return r
                 res.append(r)
@@ -213,7 +212,7 @@ def main():
         if key == "7":
             return run_stage(
                 "stage7 vreg latency probe",
-                "exec(open('scripts/vreg_probe.py').read())",
+                "import runpy; runpy.run_path('scripts/vreg_probe.py', run_name='__main__')",
                 timeout_s=600,
             )
         if key == "6":
