@@ -38,7 +38,8 @@ def _stats(p):
     ke = float(0.5 * np.sum(np.asarray(p.mass)[act][:, None] * vel**2))
     failed = int(np.asarray(p.failed)[act].sum())
     broken = int((np.asarray(p.phase)[act] == 0.0).sum())
-    return pos.mean(axis=0), pos.min(axis=0), pos.max(axis=0), ke, failed, broken
+    mass = float(np.asarray(p.mass)[act].sum())
+    return pos.mean(axis=0), pos.min(axis=0), pos.max(axis=0), ke, failed, broken, mass
 
 
 def _make_pipe(kind, b):
@@ -61,6 +62,9 @@ def _replay(scene, kind, max_frames=None):
     pipe = _make_pipe(kind, b)
     p = jax.tree_util.tree_map(jnp.array, b.particles)
     n0 = int(np.asarray(b.particles.active).sum())
+    act0 = np.asarray(b.particles.active)
+    mass0 = float(np.asarray(b.particles.mass)[act0].sum())
+    per_mass = np.asarray(b.particles.mass)
     frames = gold["frames"][:max_frames] if max_frames else gold["frames"]
     for rec in frames:
         p, niter = pipe.step_with_stats(p)
@@ -73,7 +77,18 @@ def _replay(scene, kind, max_frames=None):
             assert abs(int(niter) - rec["substeps"]) <= 1, (
                 f"{scene} frame {frame} substeps"
             )
-        com, lo, hi, ke, failed, broken = _stats(p)
+        com, lo, hi, ke, failed, broken, mass = _stats(p)
+        # Conservation invariant (independent of the goldens): MPM transfers
+        # never create or destroy mass — the only sink is deactivation
+        # (out-of-grid particles, ref particle_set.rs:132-135), so total
+        # active mass must equal the initial total minus exactly the mass of
+        # the since-deactivated particles.
+        act_now = np.asarray(p.active)
+        deact = float(per_mass[act0 & ~act_now].sum())
+        np.testing.assert_allclose(
+            mass, mass0 - deact, rtol=1e-6,
+            err_msg=f"{scene} frame {frame} mass conservation",
+        )
         np.testing.assert_allclose(
             com, rec["com"], atol=3e-3, rtol=1e-3,
             err_msg=f"{scene} frame {frame} com",
