@@ -108,7 +108,7 @@ def main():
     def no_bound(meta_, tf, ti, mid, phase, eh, f, mass, vol0, vn, vs, h, d):
         return jnp.full(phase.shape, jnp.inf, jnp.float32)
 
-    def no_energy(meta_, tf, ti, mid, phase, eh, f):
+    def no_energy(meta_, tf, ti, mid, phase, eh, f, s=None):
         return jnp.zeros_like(phase)
 
     rows = []
