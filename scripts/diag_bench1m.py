@@ -40,17 +40,25 @@ def main():
     # Warmup/compile + advance into the falling phase (same as bench.py).
     p, _ = pipe.run_frames(p, frames)
     print("warm done", flush=True)
+    # Re-count after the warmup fall: particles can fail/deactivate, and the
+    # measured-span throughput should use the population actually stepped.
+    n = int(np.asarray(p.num_active))
+    print(f"n_active after warmup={n}", flush=True)
 
     for rep in range(3):
         t0 = time.perf_counter()
         _, total = pipe.run_frames(p, frames)
         dt = time.perf_counter() - t0
         total = int(total)
-        nres = getattr(pipe, "last_resorts", -1)
+        nres = getattr(pipe, "last_resorts", None)
+        res_str = (
+            f"resorts={nres} ({nres/max(total,1):.2f}/substep)"
+            if nres is not None
+            else "resorts=n/a"
+        )
         print(
             f"rep{rep}: {dt*1e3:.1f} ms, {total} substeps -> "
-            f"{dt/max(total,1)*1e3:.2f} ms/substep, resorts={nres} "
-            f"({nres/max(total,1):.2f}/substep), "
+            f"{dt/max(total,1)*1e3:.2f} ms/substep, {res_str}, "
             f"pups={n*total/dt/1e6:.1f}M",
             flush=True,
         )

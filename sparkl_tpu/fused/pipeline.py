@@ -165,6 +165,17 @@ class FusedMpmPipeline:
                 static_argnums=(1,),
                 donate_argnums=(0,) if self._donate else (),
             )
+            # Pack/unpack as single compiled programs: un-jitted they run
+            # op-by-op (dt bounds + stress seed + sort + 64-row gathers are
+            # hundreds of dispatches), which over the tunneled device costs
+            # more wall time than the whole multi-frame substep program at
+            # 1M particles (measured: ~90 of ~107 ms/substep in the round-3
+            # bench was this host-side dispatch, not device compute).
+            self._jit_pack = jax.jit(self._pack)
+            self._jit_unpack = jax.jit(
+                self._unpack, static_argnums=(1,),
+                donate_argnums=(0,) if self._donate else (),
+            )
 
     def _grow(self, factor=1.6):
         c = self._cfg
@@ -727,6 +738,86 @@ class FusedMpmPipeline:
         p, n = self.run_frames(particles, 1)
         return p, n
 
+    # -- state-resident API -----------------------------------------------------
+    #
+    # The Particles pytree is the API-boundary format; converting to/from it
+    # costs real device programs (pack: dt bounds + stress seed + sort +
+    # row gathers; unpack: the inverse permutation). A simulation session
+    # should pay that ONCE, not per frame span — the reference keeps its
+    # state device-resident the same way and reads back only what rendering
+    # needs per frame (testbed_plugin.rs:533-588 pinned-staging readback).
+
+    def pack_state(self, particles):
+        """Particles -> resident SlotState (capacity-checked, regrown to
+        fit). Advance it with run_frames_state; read back with unpack_state."""
+        self._ensure_cfg(particles)
+        self._state_capacity = particles.capacity
+        for _attempt in range(6):
+            state = self._jit_pack(particles)
+            s = state.structure
+            # One batched host read instead of three round-trips.
+            nb, ngb, nc = jax.device_get(
+                (s.num_blocks, s.num_grid_blocks, s.num_chunks)
+            )
+            if (
+                int(nb) > self._cfg.max_blocks
+                or int(ngb) > self._cfg.max_grid_blocks
+                or int(nc) > self._cfg.max_chunks
+            ):
+                self._grow()
+                continue
+            return state
+        raise RuntimeError("block table capacity still overflowing after regrows")
+
+    def unpack_state(self, state, capacity: int | None = None):
+        """Resident SlotState -> Particles pytree (original-order rows)."""
+        if capacity is None:
+            capacity = self._state_capacity
+        return self._jit_unpack(state, capacity)
+
+    def _repack_state(self, state):
+        """Unpack at the current cfg, regrow tables, repack at the new cfg
+        (state-resident counterpart of the regrow-retry in the reference's
+        launch_sort loop, cuda_sparse_grid.rs:161-253)."""
+        particles = self.unpack_state(state)
+        self._grow()
+        return self._jit_pack(particles)
+
+    def run_frames_state(self, state, num_frames: int):
+        """Advance a resident SlotState by `num_frames` frames in ONE device
+        program; returns (state, total_substeps). Capacity overflow restores
+        the pre-span snapshot, regrows, and retries the span."""
+        for _attempt in range(6):
+            # Donation insurance: _jit consumes `state`'s buffers; keep a
+            # device copy so an overflowed span can be retried.
+            backup = (
+                jax.tree_util.tree_map(jnp.copy, state) if self._donate else state
+            )
+            state, total, overflow, peak, nres = self._jit(state, num_frames)
+            total_, flags, peak_, nres_ = map(
+                int, jax.device_get((total, overflow, peak, nres))
+            )
+            if flags == 0:
+                del backup
+                # Diagnostics: resorts actually taken in the span.
+                self.last_resorts = nres_
+                if peak_ > 0.85 * self._cfg.max_chunks:
+                    # Preemptive regrow before an overflow wastes a span
+                    # (ref: cuda_sparse_grid.rs regrows at >50% load).
+                    state = self._repack_state(state)
+                return state, total_
+            state = backup
+            if flags & OVERFLOW_EIGEN:
+                # Eigenerosion candidate-list overflow: a block held more
+                # chunks than _eigen_mcb. Double it and recompile (never
+                # silently mis-pool).
+                self._eigen_mcb *= 2
+                self._jit = None
+                self._ensure_cfg(None)
+            if flags & OVERFLOW_TABLES:
+                state = self._repack_state(state)
+        raise RuntimeError("block table capacity still overflowing after regrows")
+
     def run_frames(self, particles, num_frames: int,
                    frames_per_launch: int | None = None):
         """Advance `num_frames` frames in ONE device program; slot state is
@@ -742,35 +833,10 @@ class FusedMpmPipeline:
                 total += int(t)
                 done += k
             return particles, total
-        self._ensure_cfg(particles)
         capacity = particles.capacity
-        for _attempt in range(6):
-            state = self._pack(particles)
-            s = state.structure
-            if (
-                int(s.num_blocks) > self._cfg.max_blocks
-                or int(s.num_grid_blocks) > self._cfg.max_grid_blocks
-                or int(s.num_chunks) > self._cfg.max_chunks
-            ):
-                self._grow()
-                continue
-            state, total, overflow, peak, nres = self._jit(state, num_frames)
-            flags = int(overflow)
-            if flags == 0:
-                self._adapt_capacity(int(peak))
-                # Diagnostics: resorts actually taken in the span.
-                self.last_resorts = int(nres)
-                return self._unpack(state, capacity), int(total)
-            if flags & OVERFLOW_EIGEN:
-                # Eigenerosion candidate-list overflow: a block held more
-                # chunks than _eigen_mcb. Double it and recompile (never
-                # silently mis-pool).
-                self._eigen_mcb *= 2
-                self._jit = None
-                self._ensure_cfg(None)
-            if flags & OVERFLOW_TABLES:
-                self._grow()
-        raise RuntimeError("block table capacity still overflowing after regrows")
+        state = self.pack_state(particles)
+        state, total = self.run_frames_state(state, num_frames)
+        return self.unpack_state(state, capacity), total
 
     def _adapt_capacity(self, peak_chunks):
         """Preemptive regrow before an overflow wastes a frame (ref:
