@@ -1025,6 +1025,19 @@ def merge_blocks_dma(cfg, rows, first, nchunks, kmax, interpret=False,
     transfer._merge_gather); the caller keeps the 2^d inverse-corner gather
     and the dense-block scatter fallback."""
     d_, ncorners, w = rows.shape
+    # Mosaic requires the in-kernel row DMA (`rows_hbm.at[first + k]`) to
+    # slice whole 128-lane tiles: a 2D merge row is nf*16 lanes (48/16/80
+    # depending on channel count) and fluids' 3D mass merge is 64 — both
+    # fail to lower ("Slice shape along dimension 2 must be aligned to
+    # tiling (128)"). Pad the lane dim to the tile boundary; the zero lanes
+    # sum to zero and are dropped on return.
+    w_in = w
+    w_pad = ((w + 127) // 128) * 128
+    if w_pad != w:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((d_, ncorners, w_pad - w), rows.dtype)], axis=-1
+        )
+        w = w_pad
     mb = cfg.max_blocks
     # interpret: nb=2 still exercises the batch indexing on CPU CI without
     # the full unroll cost.
@@ -1055,7 +1068,9 @@ def merge_blocks_dma(cfg, rows, first, nchunks, kmax, interpret=False,
         out_shape=_out_shape((mb_pad, ncorners, w), jnp.float32, vma),
         interpret=interpret,
     )(fn, rows)
-    return out[:mb] if mb_pad != mb else out
+    if mb_pad != mb:
+        out = out[:mb]
+    return out[:, :, :w_in] if w_in != w else out
 
 
 def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None):

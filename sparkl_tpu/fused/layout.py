@@ -563,6 +563,15 @@ def resort(grid: GridParams, cfg: BlockConfig, state: SlotState, dim: int,
                     newbig[:, : r.nf, :], _f32_to_ints(newbig[:, r.nf :, :])
                 )
 
+            # Mosaic DMA slices (`slots.at[cid]`) must cover whole 128-lane
+            # tiles: 3D chunks are C=128 (aligned), 2D chunks are C=64 —
+            # the DMA fast path fails to compile there ("Slice shape along
+            # dimension 2 must be aligned to tiling (128)"), so 2D statically
+            # takes the XLA-gather form (identical values; 2D scenes are
+            # small-N and resort-cheap). Interpret mode keeps the DMA path
+            # so CPU CI still covers its indexing in both dims.
+            if c % 128 != 0 and not interpret:
+                return slow(None)
             return jax.lax.cond(k_overflow, slow, fast, None)
 
         slots, ints = jax.lax.cond(pure_relabel, pure, mixed, None)
