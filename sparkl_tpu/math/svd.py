@@ -34,9 +34,12 @@ _JACOBI_SWEEPS = 4
 # 3x3 eigensolver backend for svd3x3_c: "jacobi" (iterative, most accurate)
 # or "cardano" (closed-form trig eigenvalues + cross-product eigenvectors —
 # ~2x fewer VPU ops; the in-kernel SVD is the dominant per-particle cost).
+# Default measured round 4 (scripts/measure_round4.log): cardano cuts
+# kernel B 4.67 -> 2.97 ms @500k and the sand3@1M bench 59.4 -> 67.1 M
+# pups/s, with accuracy green on the fused-vs-dense and oracle suites.
 # Switch with set_eig3_method; per-call override via svd3x3_c(f, method=...);
-# SPARKL_EIG3=cardano sets the process default (bench/sweep combo runs).
-_EIG3_METHOD = __import__("os").environ.get("SPARKL_EIG3", "jacobi")
+# SPARKL_EIG3=jacobi restores the iterative backend.
+_EIG3_METHOD = __import__("os").environ.get("SPARKL_EIG3", "cardano")
 if _EIG3_METHOD not in ("jacobi", "cardano"):
     raise ValueError(f"SPARKL_EIG3 must be jacobi|cardano, got {_EIG3_METHOD}")
 
