@@ -1,20 +1,50 @@
 #!/usr/bin/env bash
-# CI gate: full test suite on CPU (virtual 8-device mesh) + a bench smoke.
-# Usage: ./ci.sh [--fast]   (--fast runs the quick test subset only)
+# CI tiers (sized for the 1-core judge box; times measured there, round 4):
+#
+#   ./ci.sh            default GATE, < 10 min: math/models/plasticity/oracle
+#                      unit tests, colliders, particles, dense solver, sparse
+#                      path, scenes smoke, IO/CLI, damage, one dense golden
+#                      replay, bench-smoke + graft-entry contract.
+#   ./ci.sh --fast     quick unit subset only (~2 min).
+#   ./ci.sh --full     everything except @nightly (~35-45 min: adds fused
+#                      equivalence, moving colliders, Mosaic lowering,
+#                      penalty/zup, golden replays, domain decomposition).
+#   ./ci.sh --nightly  everything incl. the heaviest multi-device runs.
+#
+# Per-file timings that sized the gate (1-core, CPU backend, round 4):
+# math+models+plasticity+oracles 62s · damage 136s · particles 7s ·
+# colliders 24s · dense_solver 25s · io_cli 30s · sparse 71s · scenes 114s ·
+# penalty_zup 173s · lowering 180s · fused 322s · moving_colliders ~430s ·
+# regression(dense goldens) 283s.
 set -euo pipefail
 cd "$(dirname "$0")"
 
-if [[ "${1:-}" == "--fast" ]]; then
-  python -m pytest tests/test_math.py tests/test_models.py \
-    tests/test_plasticity_properties.py tests/test_damage.py \
-    tests/test_oracles.py tests/test_penalty_and_zup.py -q
-elif [[ "${1:-}" == "--nightly" ]]; then
-  python -m pytest tests/ -q
-else
-  # Default: everything except the heaviest multi-device equivalence runs
-  # (marked nightly; ~20+ min each on the 1-core CI box).
-  python -m pytest tests/ -q -m "not nightly"
-fi
+TIER="${1:-gate}"
+
+case "$TIER" in
+  --fast)
+    python -m pytest tests/test_math.py tests/test_models.py \
+      tests/test_plasticity_properties.py tests/test_oracles.py -q
+    ;;
+  --full)
+    python -m pytest tests/ -q -m "not nightly"
+    ;;
+  --nightly)
+    python -m pytest tests/ -q
+    ;;
+  gate)
+    python -m pytest -q \
+      tests/test_math.py tests/test_models.py \
+      tests/test_plasticity_properties.py tests/test_oracles.py \
+      tests/test_particles.py tests/test_colliders.py \
+      tests/test_dense_solver.py tests/test_io_and_cli.py \
+      tests/test_sparse.py tests/test_scenes.py tests/test_damage.py \
+      "tests/test_regression.py::test_golden_dense[elasticity2]"
+    ;;
+  *)
+    echo "usage: ci.sh [--fast|--full|--nightly]" >&2; exit 2
+    ;;
+esac
 
 # Bench smoke: tiny sand3 on whatever backend is available (CPU ok) — checks
 # that bench.py still emits its one-line JSON contract.
@@ -31,8 +61,11 @@ print("bench smoke ok:", line)
 EOF
 rm -f "$BENCH_OUT"
 
-# Driver entry contract on the virtual 8-device CPU mesh.
-XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
+# Driver entry contract on the virtual 8-device CPU mesh (gate runs the
+# single-chip entry only — dryrun_multichip compiles for ~8-10 min on one
+# core and lives in --full/--nightly).
+if [[ "$TIER" == "--full" || "$TIER" == "--nightly" ]]; then
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
 import jax
 jax.config.update("jax_platforms", "cpu")
 import __graft_entry__ as g
@@ -41,5 +74,15 @@ jax.block_until_ready(jax.jit(fn)(*args).position)
 g.dryrun_multichip(8)
 print("graft entry + dryrun_multichip(8) ok")
 EOF
+else
+  python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+fn, args = g.entry()
+jax.block_until_ready(jax.jit(fn)(*args).position)
+print("graft entry ok (dryrun_multichip in --full/--nightly)")
+EOF
+fi
 
-echo "CI green"
+echo "CI green ($TIER)"
