@@ -84,7 +84,11 @@ def main():
     n_coll = 4 + 2  # 4 halo ppermutes + pmin dt + pmax resort flag
     t_comm = halo_bytes / BW_ICI + n_coll * L_COLL
 
-    # Resort-epoch slot migration (only on pmax-triggered resorts).
+    # Migration-epoch slot migration. Since round 4, ordinary drift resorts
+    # are SHARD-LOCAL (no collective, no cross-shard stall — a quiet shard
+    # never pays for a busy one's rebuild); only epochs with actual
+    # emigrant slot rows pmax-synchronize, so f_res below bounds the
+    # EPOCH rate (cross-tile advection), not the drift-resort rate.
     slot_row_bytes = (rows.nf * 4 + L.NI * 4) * c_sz
     mig_chunks = max(64, max_chunks // 16)  # boundary layer of chunks
     t_mig = mig_chunks * slot_row_bytes / BW_ICI + 2 * L_COLL

@@ -52,25 +52,30 @@ __version__ = "0.1.0"
 def auto_pipeline(bundle, prefer="auto", **kw):
     """Build the best pipeline for a scene bundle.
 
-    "auto" picks by measured regimes on TPU v5e (BASELINE.md):
-      * the fused persistent-slot pipeline for 3D scenes, large scenes, and
-        anything in the eigenerosion family (its pairwise pooling kernel is
-        ~8x faster than the bucket path);
-      * the block-sparse split pipeline for small 2D scenes and 2D fluids
-        with volume recomputation, where per-substep fixed costs dominate
-        and the fused path's resort machinery does not pay for itself;
-      * the sparse pipeline whenever the fused path does not support the
-        configuration (custom Python models only, since round 3 — CD-MPM
-        and boundary particle projection run fused now).
+    "auto" = the fused persistent-slot pipeline whenever the configuration
+    supports it, the block-sparse split pipeline otherwise (custom Python
+    models only, since round 3). The round-2/3 regime switch is retired:
+    since the round-4 Mosaic 2D fix + state-resident spans + cardano eig3,
+    fused measures faster than sparse on ALL eight reference scenes
+    (BASELINE.md round-4 per-scene table: elasticity2 1.20 vs 3.24,
+    fluids2 7.88 vs 26.13, basic2 1.93 vs 4.31, l_panel2 10.52 vs 53.87,
+    sand3 14.35 vs 85.99 ms/substep) — one GPU-class path for every scene,
+    like the reference's single CudaMpmPipeline (cuda_mpm_pipeline.rs).
     `prefer` in {"auto", "fused", "sparse", "dense"} forces a path.
     """
-    import numpy as _np
     from sparkl_tpu.fused.pipeline import FusedMpmPipeline
     from sparkl_tpu.sparse.pipeline import SparseMpmPipeline
     from sparkl_tpu.solver.pipeline import MpmPipeline
 
     args = (bundle.grid, bundle.models, bundle.colliders, bundle.params,
             bundle.gravity, bundle.hooks)
+    pose_fn = getattr(bundle, "collider_pose_fn", None)
+    fused_kw = dict(kw)
+    if pose_fn is not None:
+        # Animated colliders (sweep2-style scenes): the fused path takes the
+        # pose schedule at construction; the dense/sparse paths take poses
+        # per step_with_stats call instead.
+        fused_kw["collider_pose_fn"] = pose_fn
     if prefer == "dense":
         return MpmPipeline(*args)
     if prefer == "sparse":
@@ -79,18 +84,8 @@ def auto_pipeline(bundle, prefer="auto", **kw):
     if prefer == "fused":
         if not ok:
             raise ValueError(f"fused pipeline unsupported here: {_why}")
-        return FusedMpmPipeline(*args, **kw)
+        return FusedMpmPipeline(*args, **fused_kw)
 
-    n = int(_np.asarray(bundle.particles.num_active))
-    dim = bundle.grid.dim
-    eigen = bundle.params.damage_model in (
-        DamageModel.EIGENEROSION, DamageModel.MODIFIED_EIGENEROSION
-    )
-    use_fused = ok and (
-        eigen
-        or dim == 3
-        or (n >= 200_000 and not bundle.params.force_fluids_volume_recomputation)
-    )
-    if use_fused:
-        return FusedMpmPipeline(*args, **kw)
+    if ok:
+        return FusedMpmPipeline(*args, **fused_kw)
     return SparseMpmPipeline(*args, **kw)

@@ -68,6 +68,7 @@ class FusedMpmPipeline:
         use_pallas=None,  # None = auto (TPU backend); "interpret" for tests
         calibration_slack: float = 1.4,
         transfer_dtype: str = "float32",
+        collider_pose_fn=None,
     ):
         ok, why = FusedMpmPipeline.supports(models, params)
         if not ok:
@@ -132,9 +133,31 @@ class FusedMpmPipeline:
         # XLA KMAX-gather under interpret (identical values, far cheaper to
         # interpret). Tests may force True to cover DMA+vma on the CPU mesh.
         self._merge_dma = not self._interpret
+        # Runtime collider poses: `collider_pose_fn(t) -> tuple` aligned with
+        # the collider set, entries None (static, baked pose) or
+        # (translation [d], rotation [d, d]) as functions of simulation time
+        # `t` — traced, so animated colliders run WITHOUT re-jit (ref: the
+        # CPU solver reads the live rapier pose every step,
+        # mls_solver.rs:7-9; poses update per frame in the testbed,
+        # testbed_plugin.rs:452-456). Dynamic colliders are excluded from
+        # the resort-time projection cache and re-projected every substep.
+        self._pose_fn = collider_pose_fn
+        if collider_pose_fn is not None:
+            probe = collider_pose_fn(0.0)
+            if len(probe) != len(self.colliders):
+                raise ValueError(
+                    f"collider_pose_fn returned {len(probe)} entries for "
+                    f"{len(self.colliders)} colliders"
+                )
+            self._dynamic_ids = frozenset(
+                i for i, e in enumerate(probe) if e is not None
+            )
+        else:
+            self._dynamic_ids = frozenset()
         self._halo_fn = None          # (node_table, structure) -> (node, ovf)
         self._dt_reduce = None        # dt -> dt (lax.pmin)
         self._need_sync = None        # resort trigger bool -> global bool
+        self._emigrants_fn = None     # state -> bool (any slot left my tile)
         self._slot_migrate_fn = None  # SlotState -> (SlotState, ovf_bool)
         self._eigen_ghost_fn = None   # (state, eligible) -> (g0, g1, flags)
 
@@ -443,7 +466,7 @@ class FusedMpmPipeline:
             slots=slots.at[:, r.phase, :].set(phase.reshape(cfg.max_chunks, c))
         )
 
-    def _project_boundary_slots(self, slots, ints, dt):
+    def _project_boundary_slots(self, slots, ints, dt, poses=None):
         """Boundary particle projection on slot rows (post-advection, the
         same stage the reference runs it: grid_to_particle.rs:151-166 —
         penetrating particles snap to the collider surface with the matching
@@ -455,8 +478,8 @@ class FusedMpmPipeline:
         pos = jnp.stack([slots[:, r.pos + ax, :] for ax in range(d)], axis=-1)
         vel = jnp.stack([slots[:, r.vel + ax, :] for ax in range(d)], axis=-1)
         disp = jnp.zeros(active.shape, jnp.float32)
-        for col in self.colliders:
-            proj, inside = col.project_point(pos)
+        for ci, col in enumerate(self.colliders):
+            proj, inside = col.project_point(pos, dense._pose_of(poses, ci))
             inside = inside & active
             delta = proj - pos
             vel = jnp.where(inside[..., None], vel + delta / dt, vel)
@@ -476,7 +499,7 @@ class FusedMpmPipeline:
 
     # -- one substep (traced) --------------------------------------------------
 
-    def _substep(self, state, dt):
+    def _substep(self, state, dt, poses=None):
         grid, cfg, params, r = self.grid, self._cfg, self.params, self._rows
         dim = grid.dim
         cpb = B.cells_per_block(dim)
@@ -493,7 +516,7 @@ class FusedMpmPipeline:
                 [state.slots[:, r.pos + ax, :] for ax in range(dim)], axis=-1
             )
             pen = dense.penalty_velocity_delta(
-                self.colliders, pos, state.slots[:, r.mass, :], dt
+                self.colliders, pos, state.slots[:, r.mass, :], dt, poses
             )
             for ax in range(dim):
                 slots_p2g = slots_p2g.at[:, r.vel + ax, :].add(pen[..., ax])
@@ -533,6 +556,23 @@ class FusedMpmPipeline:
         velocity = (mom + mass[..., None] * self.gravity * dt) * inv_mass[..., None]
 
         node_pos, projections = state.grid_cache
+        if self._dynamic_ids:
+            # Moving colliders: re-project the dynamic entries at the live
+            # pose (the static ones keep their resort-time cache rows —
+            # under gpu semantics the combined data is rebuilt whole).
+            if params.gpu_boundary_semantics:
+                projections = dense.gpu_grid_projection_data(
+                    grid, self.colliders, node_pos,
+                    params.boundary_handling, poses,
+                )
+            else:
+                dyn = dense.grid_node_projections(
+                    self.colliders, node_pos, poses, only=self._dynamic_ids
+                )
+                projections = tuple(
+                    dyn[i] if i in self._dynamic_ids else projections[i]
+                    for i in range(len(self.colliders))
+                )
         gstate = GridState(
             mass=mass,
             momentum=mom,
@@ -545,6 +585,7 @@ class FusedMpmPipeline:
             params.simulation_dofs, node_positions=node_pos,
             projections=projections,
             gpu_boundary_semantics=params.gpu_boundary_semantics,
+            poses=poses,
         )
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
@@ -570,7 +611,7 @@ class FusedMpmPipeline:
 
         if params.enable_boundary_particle_projection and self.colliders:
             new_slots = self._project_boundary_slots(
-                new_slots, state.ints, dt
+                new_slots, state.ints, dt, poses
             )
 
         # Lazy-resort trigger: the kernel accumulates per-slot drift; the
@@ -582,40 +623,61 @@ class FusedMpmPipeline:
             cum_disp=jnp.max(new_slots[:, r.cumd, :]),
         ), halo_ov
 
-    def _step_body(self, state, remaining, overflow, peak):
+    def _step_body(self, state, remaining, overflow, peak, poses=None):
         """One substep incl. the lazy resort; returns (state, dt, ...)."""
         grid, params, cfg, r = self.grid, self.params, self._cfg, self._rows
         min_dt = params.dt / params.max_num_substeps
 
         # Lazy resort: the ob2 window is valid while accumulated drift stays
-        # under one cell; rebuild + permute only when needed. Under domain
-        # decomposition the trigger is globally synchronized (pmax) so every
-        # shard enters the collective migration + resort together.
-        need = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
-        if self._need_sync is not None:
-            need = self._need_sync(need)
+        # under one cell; rebuild + permute only when needed.
+        need_local = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
 
-        def do_resort(s):
-            mig_ov = jnp.asarray(0, jnp.int32)
-            if self._slot_migrate_fn is not None:
-                # Slot-row migration: particles whose ob2 block left this
-                # shard's tile hop to the owning neighbor before the local
-                # rebuild (the fused counterpart of domain._migrate).
-                s, mov = self._slot_migrate_fn(s)
-                mig_ov = mov.astype(jnp.int32) * OVERFLOW_TABLES
+        def local_resort(s):
             s2, ov = L.resort(
                 grid, cfg, s, grid.dim,
                 interpret=self._interpret, vma=self._kernel_vma,
                 cache_fn=self._grid_cache,
             )
-            return s2, mig_ov | ov.astype(jnp.int32) * OVERFLOW_TABLES
+            return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         def no_resort(s):
             return s, jnp.asarray(0, jnp.int32)
 
-        state, ov = jax.lax.cond(need, do_resort, no_resort, state)
-        overflow = overflow | ov
-        nresort = need.astype(jnp.int32)
+        if self._slot_migrate_fn is None:
+            state, ov = jax.lax.cond(need_local, local_resort, no_resort, state)
+            overflow = overflow | ov
+            nresort = need_local.astype(jnp.int32)
+        else:
+            # Domain decomposition: resorts are PER-SHARD lazy (chunk keys
+            # are global, so shards may rebuild at different substeps — the
+            # halo merge contract is unaffected). Only slot MIGRATION is a
+            # collective epoch: when any shard holds emigrant rows (ob2
+            # block outside its tile), every shard enters the ppermutes +
+            # rebuild together. The reference's analog runs the halo
+            # choreography every substep on all devices
+            # (cuda_mpm_pipeline.rs:407-533); here the common case is the
+            # cheap shard-local rebuild and no cross-shard stall.
+            def migrate_resort(s):
+                s, mov = self._slot_migrate_fn(s)
+                s2, ov = L.resort(
+                    grid, cfg, s, grid.dim,
+                    interpret=self._interpret, vma=self._kernel_vma,
+                    cache_fn=self._grid_cache,
+                )
+                return s2, (mov | ov).astype(jnp.int32) * OVERFLOW_TABLES
+
+            need_mig = self._need_sync(self._emigrants_fn(state))
+            state, ov_m = jax.lax.cond(
+                need_mig, migrate_resort, no_resort, state
+            )
+            # Shard-local drift rebuild (skipped when the collective epoch
+            # already resorted this substep — it reset cum_disp).
+            need_local = need_local & ~need_mig
+            state, ov_l = jax.lax.cond(
+                need_local, local_resort, no_resort, state
+            )
+            overflow = overflow | ov_m | ov_l
+            nresort = (need_mig | need_local).astype(jnp.int32)
         peak = jnp.maximum(peak, state.structure.num_chunks)
 
         # Out-of-grid marking is folded into kernel B (from post-advection
@@ -639,12 +701,12 @@ class FusedMpmPipeline:
         elif params.damage_model == DamageModel.CD_MPM:
             state = self._update_phase_field_slots(state, dt)
 
-        state, sub_ov = self._substep(state, dt)
+        state, sub_ov = self._substep(state, dt, poses)
         overflow = overflow | sub_ov.astype(jnp.int32) * OVERFLOW_TABLES
         remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
         return state, remaining, overflow, peak, nresort
 
-    def _step_impl(self, state):
+    def _step_impl(self, state, poses=None):
         params = self.params
 
         def cond(carry):
@@ -654,7 +716,7 @@ class FusedMpmPipeline:
         def body(carry):
             state, remaining, niter, overflow, peak, nres = carry
             state, remaining, overflow, peak, nr1 = self._step_body(
-                state, remaining, overflow, peak
+                state, remaining, overflow, peak, poses
             )
             return (state, remaining, niter + 1, overflow, peak, nres + nr1)
 
@@ -669,10 +731,20 @@ class FusedMpmPipeline:
         state, _, niter, overflow, peak, nres = jax.lax.while_loop(cond, body, carry)
         return state, niter, overflow, peak, nres
 
-    def _frames_impl(self, state, num_frames):
-        def body(carry, _):
+    def _frames_impl(self, state, num_frames, t0=0.0):
+        def body(carry, frame_idx):
             state, total, ov, peak, nres = carry
-            state, niter, ov2, pk, nr1 = self._step_impl(state)
+            poses = None
+            if self._pose_fn is not None:
+                # Poses are per-frame values, like the reference's rapier
+                # step -> collider-set update cadence
+                # (testbed_plugin.rs:452-456): evaluated from simulation
+                # time at the frame start, constant across its substeps.
+                t = jnp.asarray(t0, jnp.float32) + (
+                    frame_idx.astype(jnp.float32) * self.params.dt
+                )
+                poses = self._pose_fn(t)
+            state, niter, ov2, pk, nr1 = self._step_impl(state, poses)
             return (
                 state, total + niter, ov | ov2, jnp.maximum(peak, pk),
                 nres + nr1,
@@ -682,7 +754,7 @@ class FusedMpmPipeline:
             body,
             (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
-            None,
+            jnp.arange(num_frames, dtype=jnp.int32),
             length=num_frames,
         )
         return state, total, ov, peak, nres
@@ -701,14 +773,26 @@ class FusedMpmPipeline:
             [node_pos, jnp.full((1, cpb, dim), 1.0e10, jnp.float32)], axis=0
         )
         if self.params.gpu_boundary_semantics and self.colliders:
-            # GPU-pipeline semantics: best-collider status + sdf-gradient
-            # normals, recomputed per resort exactly like the reference's
-            # NotComputed-gated cache (src_kernels/cuda/grid_update.rs:106-140).
-            projections = dense.gpu_grid_projection_data(
-                grid, self.colliders, node_pos, self.params.boundary_handling
-            )
+            if self._dynamic_ids:
+                # The best-collider/sdf-gradient data mixes ALL colliders,
+                # so any dynamic collider makes the whole product
+                # pose-dependent: recomputed per substep instead (see
+                # _substep), nothing cacheable here.
+                projections = None
+            else:
+                # GPU-pipeline semantics: best-collider status + sdf-gradient
+                # normals, recomputed per resort exactly like the reference's
+                # NotComputed-gated cache (src_kernels/cuda/grid_update.rs:106-140).
+                projections = dense.gpu_grid_projection_data(
+                    grid, self.colliders, node_pos, self.params.boundary_handling
+                )
         else:
-            projections = dense.grid_node_projections(self.colliders, node_pos)
+            # Cache only the static colliders' projections; dynamic entries
+            # stay None and are re-projected at the live pose every substep.
+            static = frozenset(range(len(self.colliders))) - self._dynamic_ids
+            projections = dense.grid_node_projections(
+                self.colliders, node_pos, only=static
+            )
         return (node_pos, projections)
 
     def _pack(self, particles):
@@ -747,11 +831,13 @@ class FusedMpmPipeline:
     # state device-resident the same way and reads back only what rendering
     # needs per frame (testbed_plugin.rs:533-588 pinned-staging readback).
 
-    def pack_state(self, particles):
+    def pack_state(self, particles, sim_time: float = 0.0):
         """Particles -> resident SlotState (capacity-checked, regrown to
-        fit). Advance it with run_frames_state; read back with unpack_state."""
+        fit). Advance it with run_frames_state; read back with unpack_state.
+        `sim_time` seeds the clock collider_pose_fn is evaluated against."""
         self._ensure_cfg(particles)
         self._state_capacity = particles.capacity
+        self._sim_time = float(sim_time)
         for _attempt in range(6):
             state = self._jit_pack(particles)
             s = state.structure
@@ -786,14 +872,19 @@ class FusedMpmPipeline:
     def run_frames_state(self, state, num_frames: int):
         """Advance a resident SlotState by `num_frames` frames in ONE device
         program; returns (state, total_substeps). Capacity overflow restores
-        the pre-span snapshot, regrows, and retries the span."""
+        the pre-span snapshot, regrows, and retries the span. Simulation
+        time advances num_frames * params.dt (collider_pose_fn sees it as
+        a traced input — changing poses never re-jits)."""
+        t0 = getattr(self, "_sim_time", 0.0)
         for _attempt in range(6):
             # Donation insurance: _jit consumes `state`'s buffers; keep a
             # device copy so an overflowed span can be retried.
             backup = (
                 jax.tree_util.tree_map(jnp.copy, state) if self._donate else state
             )
-            state, total, overflow, peak, nres = self._jit(state, num_frames)
+            state, total, overflow, peak, nres = self._jit(
+                state, num_frames, jnp.float32(t0)
+            )
             total_, flags, peak_, nres_ = map(
                 int, jax.device_get((total, overflow, peak, nres))
             )
@@ -805,6 +896,7 @@ class FusedMpmPipeline:
                     # Preemptive regrow before an overflow wastes a span
                     # (ref: cuda_sparse_grid.rs regrows at >50% load).
                     state = self._repack_state(state)
+                self._sim_time = t0 + num_frames * float(self.params.dt)
                 return state, total_
             state = backup
             if flags & OVERFLOW_EIGEN:

@@ -11,9 +11,14 @@ convention — the reference always projects onto the boundary so interior
 cells get a meaningful outward direction) and `is_inside` flags containment.
 All projections are vectorized over arbitrary leading axes of `points`.
 
-Colliders are trace-time constants (scenes have a static collider set, like
-the reference's lazily-rebuilt CudaColliderSet); moving colliders can be
-expressed by re-tracing or via the hooks API.
+Collider GEOMETRY is a trace-time constant (scenes have a static collider
+set, like the reference's lazily-rebuilt CudaColliderSet), but POSES may be
+runtime values: `project_point(points, pose=(translation, rotation))`
+overrides the baked isometry with traced arrays, so animated/scripted
+colliders run without re-jit (ref: the CPU solver reads the live rapier
+ColliderSet pose every step, src/dynamics/solver/mls_solver.rs:7-9 +
+grid_update.rs:82 `collider.position()`; the testbed passes
+physics.colliders per frame, testbed_plugin.rs:452-456).
 """
 
 from dataclasses import dataclass, field
@@ -42,20 +47,37 @@ class Collider:
     # Per-collider overrides (ref: CudaColliderOptions, cuda_collider_set.rs:22-39).
     penalty_stiffness: float = 0.0
     boundary_handling: Optional[int] = None  # overrides SolverParameters when set
+    # Invert containment: solid side becomes the exterior (ref:
+    # CudaColliderOptions.flip_interior, cuda_collider_set.rs:26 — applied as
+    # `proj.is_inside = !proj.is_inside` in gpu_collider.rs:64-66, and as the
+    # above-surface-is-solid variant for heightfields, :82-88).
+    flip_interior: bool = False
 
-    def to_local(self, p):
-        rt = jnp.asarray(self.rotation.T, p.dtype)
-        t = jnp.asarray(self.translation, p.dtype)
-        return (p - t) @ rt.T
+    def _pose(self, pose, dtype):
+        """(translation [d], rotation [d, d]) — the baked constants, or the
+        runtime `pose` override (traced arrays; animated colliders)."""
+        if pose is None:
+            return (
+                jnp.asarray(self.translation, dtype),
+                jnp.asarray(self.rotation, dtype),
+            )
+        t, r = pose
+        return jnp.asarray(t, dtype), jnp.asarray(r, dtype)
 
-    def to_world(self, p_local):
-        r = jnp.asarray(self.rotation, p_local.dtype)
-        t = jnp.asarray(self.translation, p_local.dtype)
+    def to_local(self, p, pose=None):
+        t, r = self._pose(pose, p.dtype)
+        return (p - t) @ r  # @ r == @ (r.T).T
+
+    def to_world(self, p_local, pose=None):
+        t, r = self._pose(pose, p_local.dtype)
         return p_local @ r.T + t
 
-    def project_point(self, points):
-        """Returns (closest boundary point [..., d], is_inside [...])."""
-        p = self.to_local(points)
+    def project_point(self, points, pose=None):
+        """Returns (closest boundary point [..., d], is_inside [...]).
+
+        `pose=(translation, rotation)` overrides the baked isometry with
+        runtime (traced) arrays — the moving-collider path."""
+        p = self.to_local(points, pose)
         if self.shape_type == CUBOID:
             proj, inside = _project_cuboid(p, self.data[0])
         elif self.shape_type == HALFSPACE:
@@ -72,7 +94,9 @@ class Collider:
             proj, inside = _project_trimesh(p, *self.data)
         else:
             raise ValueError(f"unknown shape {self.shape_type}")
-        return self.to_world(proj), inside
+        if self.flip_interior:
+            inside = ~inside
+        return self.to_world(proj, pose), inside
 
 
 def _identity_pose(dim, translation=None, rotation=None):

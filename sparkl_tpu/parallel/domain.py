@@ -617,10 +617,12 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
 
       * the node-table halo merge reuses `_DomainMixin._halo_exchange`
         unchanged (the fused structure keeps the same grid-key contract);
-      * the lazy resort trigger is pmax-synchronized across shards, and slot
-        MIGRATION runs inside the collective resort: emigrant slot rows
-        (all NF f32 + NI i32 rows) ppermute to the owning neighbor and land
-        in free slots before the local structure rebuild;
+      * lazy resorts are PER-SHARD (chunk keys are global, so shards rebuild
+        at different substeps without breaking the halo contract); only slot
+        MIGRATION is a pmax-synchronized collective epoch — when any shard
+        holds emigrant rows (`_slot_emigrants`), all shards enter the
+        ppermutes together and emigrant slot rows (all NF f32 + NI i32 rows)
+        hop to the owning neighbor before the local structure rebuild;
       * dt is pmin-reduced; eigenerosion pools ghost boundary strips
         exchanged per axis with corner forwarding (exact pairwise sums).
     """
@@ -655,6 +657,7 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
             lambda b: jax.lax.pmax(b.astype(jnp.int32), self.mesh_axes) > 0
         )
         self._slot_migrate_fn = self._migrate_slots
+        self._emigrants_fn = self._slot_emigrants
         if params.damage_model == DamageModel.EIGENEROSION:
             self._eigen_ghost_fn = self._eigen_ghosts
 
@@ -771,7 +774,9 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
                            compact_ids=True)
             ov = jax.lax.pmax(ov, self.mesh_axes)
             peak = jax.lax.pmax(peak, self.mesh_axes)
-            nres = jax.lax.pmax(nres, self.mesh_axes)
+            # Per-shard resort counts (resorts are shard-local lazy now;
+            # counts legitimately differ across shards).
+            nres = jax.lax.all_gather(nres, self.mesh_axes)
             total = jax.lax.pmax(total, self.mesh_axes)
             return p2, total, ov, peak, nres
 
@@ -805,7 +810,9 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
             flags = int(overflow)
             if flags == 0:
                 self._adapt_capacity(int(peak))
-                self.last_resorts = int(nres)
+                nres_arr = np.asarray(nres).reshape(-1)
+                self.last_resorts_per_shard = tuple(int(x) for x in nres_arr)
+                self.last_resorts = int(nres_arr.max())
                 return p, int(total)
             if flags & OVERFLOW_EIGEN:
                 self._eigen_mcb *= 2
@@ -825,11 +832,37 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
 
     # -- slot migration (inside the collective resort) ------------------------
 
+    def _slot_emigrants(self, state):
+        """True when any live slot row's ob2 block lies outside this shard's
+        tile. Drives the COLLECTIVE migration epoch: shard-local drift
+        resorts run independently (mixed epochs — chunk keys are global),
+        and only actual emigrants force every shard into the ppermutes
+        together. Cheap: one key computation over the slot positions plus
+        the pmax the caller already applies."""
+        grid, r = self.grid, self._rows
+        d = grid.dim
+        pos = jnp.stack(
+            [state.slots[:, r.pos + ax, :].reshape(-1) for ax in range(d)],
+            axis=-1,
+        )
+        flags = state.ints[:, FL.I_FLAGS, :].reshape(-1)
+        active = ((flags & FL.OCCUPIED) != 0) & ((flags & FL.ACTIVE) != 0)
+        key, ok = self._key_fn(grid, pos, active)
+        valid = ok & active
+        away = jnp.asarray(False)
+        for i, a in enumerate(self.mesh_axes):
+            s_idx = jax.lax.axis_index(a)
+            away = away | jnp.any(
+                valid & (self._axis_shard_of(key, i) != s_idx)
+            )
+        return away
+
     def _migrate_slots(self, state):
         """Move slot rows whose ob2 block left this tile to the owning
         neighbor, one mesh-axis hop at a time (diagonal migrants take two
-        hops). Runs inside the pmax-synchronized resort so every shard
-        executes the ppermutes together."""
+        hops). Runs inside the pmax-synchronized migration EPOCH (triggered
+        by `_slot_emigrants`) so every shard executes the ppermutes
+        together; ordinary drift resorts stay shard-local."""
         grid, cfg, r = self.grid, self._cfg, self._rows
         d = grid.dim
         d_, c = cfg.max_chunks, cfg.chunk_size

@@ -107,6 +107,10 @@ def main(argv=None):
                 phase=np.asarray(p.phase),
                 active=np.asarray(p.active),
                 failed=np.asarray(p.failed),
+                # Grid metadata so the viewer can serve the "blocks" debug
+                # coloring (ref: testbed_plugin.rs:38-58 ParticleMode::Blocks).
+                cell_width=np.float32(b.grid.cell_width),
+                grid_origin=np.asarray(b.grid.origin, np.float32),
             )
             if args.render:
                 from sparkl_tpu import viz

@@ -24,6 +24,11 @@ class SceneBundle:
     params: SolverParameters
     gravity: tuple
     hooks: object = None
+    # Runtime collider animation: `collider_pose_fn(t) -> tuple` aligned
+    # with `colliders`, entries None (static) or (translation, rotation)
+    # traced arrays (ref: the testbed animates rapier colliders per frame,
+    # testbed_plugin.rs:452-456). None = all-static scene.
+    collider_pose_fn: object = None
 
 
 _REGISTRY: Dict[str, Callable[..., SceneBundle]] = {}

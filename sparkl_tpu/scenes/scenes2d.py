@@ -299,3 +299,69 @@ def basic2():
         params=SolverParameters(dt=1.0 / 60.0, max_num_substeps=50),
         gravity=(0.0, -9.81),
     )
+
+
+@sc.register_scene("sweep2")
+def sweep2(n=60, amp=None, period=1.0):
+    """Sand bed swept by an oscillating cuboid paddle — the moving-collider
+    scene (no direct reference example; exercises the runtime-pose path the
+    reference gets for free by reading the live rapier ColliderSet every
+    step, src/dynamics/solver/mls_solver.rs:7-9 + testbed_plugin.rs:452-456).
+
+    The paddle's pose is a function of simulation time via the bundle's
+    `collider_pose_fn`: x(t) = x0 + amp * sin(2*pi*t/period), constant
+    rotation. Poses are traced values — animation never re-jits.
+    """
+    import jax.numpy as jnp
+
+    e, nu = 1.0e5, 0.2
+    h = 1.0 / 128.0
+    ground_shift = h * 10.0
+
+    paddle_half = (h * 3.0, h * 24.0)
+    paddle_x0 = 0.5
+    paddle_y = ground_shift + paddle_half[1] * 0.8
+    if amp is None:
+        amp = h * 16.0
+
+    colliders = (
+        # Floor (static).
+        cuboid((1000.0, ground_shift), translation=(0.0, 0.0)),
+        # Paddle (dynamic: pose driven by collider_pose_fn below).
+        cuboid(paddle_half, translation=(paddle_x0, paddle_y), friction=0.3),
+    )
+
+    def collider_pose_fn(t):
+        x = paddle_x0 + amp * jnp.sin(
+            2.0 * jnp.pi * jnp.asarray(t, jnp.float32) / period
+        )
+        trans = jnp.stack([x, jnp.asarray(paddle_y, jnp.float32)])
+        rot = jnp.eye(2, dtype=jnp.float32)
+        return (None, (trans, rot))
+
+    models = reg.ModelSet.pack(
+        [
+            reg.ParticleModel(
+                reg.corotated_linear_elasticity(e, nu),
+                reg.drucker_prager_plasticity(e, nu),
+            )
+        ]
+    )
+    particles = cube_particles(
+        origin=(paddle_x0 - h * n / 4.0, ground_shift + h / 4.0),
+        counts=(n, n // 3),
+        model_id=0,
+        particle_radius=h / 4.0,
+        density0=2700.0,
+    )
+    grid = GridParams.for_domain((0.0, 0.0), (1.0 + ground_shift * 2, 1.0), h, pad=3)
+    return sc.SceneBundle(
+        name="sweep2",
+        grid=grid,
+        models=models,
+        colliders=colliders,
+        particles=particles,
+        params=SolverParameters(dt=1.0 / 60.0),
+        gravity=(0.0, -9.81),
+        collider_pose_fn=collider_pose_fn,
+    )

@@ -55,7 +55,15 @@ def mark_out_of_grid_failed(grid: GridParams, p):
     return p.replace(failed=p.failed | (p.active & ~ok))
 
 
-def penalty_velocity_delta(colliders, position, mass, dt):
+def _pose_of(poses, ci):
+    """Runtime pose override for collider `ci` from a `poses` tuple aligned
+    with the collider set (entries None for static colliders)."""
+    if poses is None:
+        return None
+    return poses[ci]
+
+
+def penalty_velocity_delta(colliders, position, mass, dt, poses=None):
     """Per-particle velocity-equivalent of the collider penalty force:
     delta_v = (sum over penalty colliders of (proj - pos) * stiffness,
     inside only) * dt / m — so that m * (v + delta_v) = m*v + force*dt, the
@@ -64,12 +72,13 @@ def penalty_velocity_delta(colliders, position, mass, dt):
     the reference gates the block on a hardcoded `if false`, so stiffness 0 —
     the default — reproduces its effective behavior). Returns None when no
     collider opts in (zero-cost static gate)."""
-    pen = [c for c in colliders if float(c.penalty_stiffness) > 0.0]
+    pen = [(ci, c) for ci, c in enumerate(colliders)
+           if float(c.penalty_stiffness) > 0.0]
     if not pen:
         return None
     force = jnp.zeros_like(position)
-    for c in pen:
-        proj, inside = c.project_point(position)
+    for ci, c in pen:
+        proj, inside = c.project_point(position, _pose_of(poses, ci))
         force = force + jnp.where(
             inside[..., None], (proj - position) * c.penalty_stiffness, 0.0
         )
@@ -77,7 +86,7 @@ def penalty_velocity_delta(colliders, position, mass, dt):
 
 
 def p2g_scatter(grid: GridParams, p, models: registry.ModelSet, dt,
-                colliders=()):
+                colliders=(), poses=None):
     """APIC particle-to-grid scatter (raw sums, no velocity yet).
 
     Ref: particle_to_grid.rs `particle_to_grid_scatter` — per-particle stress
@@ -110,7 +119,7 @@ def p2g_scatter(grid: GridParams, p, models: registry.ModelSet, dt,
         - (p.volume0 * invd * dt)[..., None, None] * stress
     )
     velocity = p.velocity
-    pen = penalty_velocity_delta(colliders, p.position, p.mass, dt)
+    pen = penalty_velocity_delta(colliders, p.position, p.mass, dt, poses)
     if pen is not None:
         velocity = velocity + pen
     momentum = p.mass[..., None] * velocity
@@ -185,18 +194,32 @@ def p2g_finalize(state: GridState, dt, gravity):
 
 
 def p2g(grid: GridParams, p, models: registry.ModelSet, dt, gravity,
-        colliders=()):
+        colliders=(), poses=None):
     """Full P2G: scatter + gravity/mass normalization."""
-    return p2g_finalize(p2g_scatter(grid, p, models, dt, colliders), dt, gravity)
+    return p2g_finalize(
+        p2g_scatter(grid, p, models, dt, colliders, poses), dt, gravity
+    )
 
 
-def grid_node_projections(colliders, node_positions):
+def grid_node_projections(colliders, node_positions, poses=None,
+                          only=None):
     """Per-collider (proj, inside) for every node. A pure function of node
-    positions (colliders are trace-time constants), so sparse pipelines can
-    compute it once per structure rebuild and carry it across substeps —
-    the reference's projection cache (ref: reset_grid.rs:29-63
-    copy_grid_projection_data carries per-node projections forward)."""
-    return tuple(c.project_point(node_positions) for c in colliders)
+    positions (collider geometry is a trace-time constant), so sparse
+    pipelines can compute it once per structure rebuild and carry it across
+    substeps — the reference's projection cache (ref: reset_grid.rs:29-63
+    copy_grid_projection_data carries per-node projections forward).
+
+    `poses` optionally overrides per-collider isometries with runtime arrays
+    (moving colliders — those entries must then be recomputed per substep,
+    not cached). `only` restricts computation to the given collider indices
+    (others get None placeholders) so callers can cache static colliders and
+    recompute dynamic ones."""
+    return tuple(
+        c.project_point(node_positions, _pose_of(poses, ci))
+        if (only is None or ci in only)
+        else None
+        for ci, c in enumerate(colliders)
+    )
 
 
 def _effective_bh(collider, boundary_handling):
@@ -207,7 +230,8 @@ def _effective_bh(collider, boundary_handling):
     )
 
 
-def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling):
+def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling,
+                             poses=None):
     """GPU-pipeline per-node projection data: the single BEST collider
     (nearest projection within the 2-cell cutoff) plus a contact normal from
     the central finite difference of the min signed SDF over all
@@ -229,7 +253,7 @@ def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling)
     base_shape = node_positions.shape[:-1]
 
     enabled = [
-        c for c in colliders
+        (ci, c) for ci, c in enumerate(colliders)
         if _effective_bh(c, boundary_handling) != BoundaryHandling.NONE
     ]
 
@@ -237,8 +261,8 @@ def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling)
         """min over enabled colliders of signed distance; +inf where no
         collider projects within the cutoff (the reference's Option chain)."""
         best = jnp.full(q.shape[:-1], jnp.inf, jnp.float32)
-        for c in enabled:
-            proj, inside = c.project_point(q)
+        for ci, c in enabled:
+            proj, inside = c.project_point(q, _pose_of(poses, ci))
             d = jnp.linalg.norm(q - proj, axis=-1)
             s = jnp.where(inside, -d, d)
             s = jnp.where(d <= max_dist, s, jnp.inf)
@@ -251,7 +275,7 @@ def gpu_grid_projection_data(grid, colliders, node_positions, boundary_handling)
     for ci, c in enumerate(colliders):
         if _effective_bh(c, boundary_handling) == BoundaryHandling.NONE:
             continue
-        proj, inside = c.project_point(node_positions)
+        proj, inside = c.project_point(node_positions, _pose_of(poses, ci))
         d = jnp.linalg.norm(node_positions - proj, axis=-1)
         better = (d <= max_dist) & (d < best_dist)
         best_id = jnp.where(better, ci, best_id)
@@ -289,6 +313,7 @@ def grid_update(
     node_positions=None,
     projections=None,
     gpu_boundary_semantics: bool = False,
+    poses=None,
 ):
     """Per-node DOF locking + collider boundary conditions.
 
@@ -331,7 +356,7 @@ def grid_update(
             projections
             if projections is not None
             else gpu_grid_projection_data(
-                grid, colliders, node_positions, boundary_handling
+                grid, colliders, node_positions, boundary_handling, poses
             )
         )
         vel = _gpu_boundary_response(
@@ -343,10 +368,12 @@ def grid_update(
         bh = _effective_bh(collider, boundary_handling)
         if bh == BoundaryHandling.NONE:
             continue
-        if projections is not None:
+        if projections is not None and projections[ci] is not None:
             proj, inside = projections[ci]
         else:
-            proj, inside = collider.project_point(node_positions)
+            proj, inside = collider.project_point(
+                node_positions, _pose_of(poses, ci)
+            )
 
         if bh == BoundaryHandling.STICK:
             vel = jnp.where(inside[..., None], 0.0, vel)
@@ -500,6 +527,7 @@ def g2p_update(
     damage_model: DamageModel = DamageModel.NONE,
     enable_boundary_particle_projection: bool = False,
     gpu_velocity_clamp: bool = False,
+    poses=None,
 ):
     """Full grid-to-particle transfer + particle state update.
 
@@ -523,6 +551,7 @@ def g2p_update(
         damage_model=damage_model,
         enable_boundary_particle_projection=enable_boundary_particle_projection,
         gpu_velocity_clamp=gpu_velocity_clamp,
+        poses=poses,
     )
 
 
@@ -540,6 +569,7 @@ def particle_update_after_gather(
     enable_boundary_particle_projection: bool = False,
     gpu_velocity_clamp: bool = False,
     compute_dt_bound: bool = False,
+    poses=None,
 ):
     """Particle state update given gathered grid quantities (shared by the
     dense reference path and the block-sparse MXU path). With
@@ -630,8 +660,8 @@ def particle_update_after_gather(
 
     # Boundary particle projection (ref :151-166).
     if enable_boundary_particle_projection:
-        for collider in colliders:
-            proj, inside = collider.project_point(position)
+        for ci, collider in enumerate(colliders):
+            proj, inside = collider.project_point(position, _pose_of(poses, ci))
             velocity = jnp.where(
                 inside[..., None], velocity + (proj - position) / dt, velocity
             )

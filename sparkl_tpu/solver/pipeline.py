@@ -94,12 +94,17 @@ class MpmPipeline:
 
         self._eigen_k = default_max_per_cell(grid.dim)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        # Simulation clock for runtime collider poses (step_with_stats'
+        # `poses` argument) — only bookkeeping here; poses enter as traced
+        # values so animated colliders never re-jit.
+        self.sim_time = 0.0
 
     # -- one substep (traced) ------------------------------------------------
 
-    def _substep(self, p, dt):
+    def _substep(self, p, dt, poses=None):
         grid, models, params = self.grid, self.models, self.params
-        state = dense.p2g(grid, p, models, dt, self.gravity, self.colliders)
+        state = dense.p2g(grid, p, models, dt, self.gravity, self.colliders,
+                          poses)
         state = dense.grid_update(
             grid,
             state,
@@ -109,6 +114,7 @@ class MpmPipeline:
             params.simulation_dofs,
             node_positions=self._node_positions,
             gpu_boundary_semantics=params.gpu_boundary_semantics,
+            poses=poses,
         )
         state = self.hooks.post_grid_update(state, grid, dt, self._node_positions)
         p = dense.g2p_update(
@@ -121,10 +127,11 @@ class MpmPipeline:
             damage_model=params.damage_model,
             enable_boundary_particle_projection=params.enable_boundary_particle_projection,
             gpu_velocity_clamp=params.gpu_velocity_clamp,
+            poses=poses,
         )
         return p
 
-    def _step_impl(self, p):
+    def _step_impl(self, p, poses=None):
         grid, models, params = self.grid, self.models, self.params
         min_dt = params.dt / params.max_num_substeps
 
@@ -149,7 +156,7 @@ class MpmPipeline:
             elif params.damage_model == DamageModel.CD_MPM:
                 p = update_phase_field(grid, p, models, dt)
 
-            p = self._substep(p, dt)
+            p = self._substep(p, dt, poses)
             remaining = jnp.where(
                 params.stop_after_one_substep, 0.0, remaining - dt
             )
@@ -173,7 +180,12 @@ class MpmPipeline:
         p, niter = self.step_with_stats(particles)
         return p
 
-    def step_with_stats(self, particles):
+    def step_with_stats(self, particles, poses=None):
+        """One frame; `poses` optionally overrides collider isometries for
+        this frame with runtime arrays (tuple aligned with the collider set,
+        None entries = static baked pose) — the moving-collider path (ref:
+        the CPU solver reads the live rapier pose every step,
+        mls_solver.rs:7-9)."""
         eigen = self.params.damage_model == DamageModel.EIGENEROSION
         for _attempt in range(6):
             # Input is donated; keep a copy while a bucket-overflow retry is
@@ -181,7 +193,8 @@ class MpmPipeline:
             backup = (
                 jax.tree_util.tree_map(jnp.array, particles) if eigen else None
             )
-            p, niter, eig_ov = self._step(particles)
+            p, niter, eig_ov = self._step(particles, poses)
+            self.sim_time += float(self.params.dt)
             if not eigen or not bool(eig_ov):
                 return p, niter
             # A cell held more than _eigen_k eligible neighbors: pooling was
@@ -190,4 +203,5 @@ class MpmPipeline:
             self._eigen_k *= 2
             self._step = jax.jit(self._step_impl, donate_argnums=(0,))
             particles = backup
+            self.sim_time -= float(self.params.dt)
         raise RuntimeError("eigenerosion buckets still overflowing after regrows")

@@ -200,7 +200,7 @@ class SparseMpmPipeline:
             DamageModel.MODIFIED_EIGENEROSION,
         )
 
-    def _substep(self, p, dt, structure, inv_perm):
+    def _substep(self, p, dt, structure, inv_perm, poses=None):
         grid, models, params, cfg = self.grid, self.models, self.params, self._cfg
         dim = grid.dim
         cpb = B.cells_per_block(dim)
@@ -237,7 +237,7 @@ class SparseMpmPipeline:
         # contract; None unless a collider opts in).
         velocity_p2g = p.velocity
         pen = dense.penalty_velocity_delta(
-            self.colliders, p.position, p.mass, dt
+            self.colliders, p.position, p.mass, dt, poses
         )
         if pen is not None:
             velocity_p2g = velocity_p2g + pen
@@ -314,6 +314,7 @@ class SparseMpmPipeline:
             params.simulation_dofs,
             node_positions=node_pos,
             gpu_boundary_semantics=params.gpu_boundary_semantics,
+            poses=poses,
         )
         gstate = self.hooks.post_grid_update(gstate, grid, dt, node_pos)
         velocity = gstate.velocity.at[cfg.max_grid_blocks].set(0.0)
@@ -375,6 +376,7 @@ class SparseMpmPipeline:
             damage_model=params.damage_model,
             enable_boundary_particle_projection=params.enable_boundary_particle_projection,
             gpu_velocity_clamp=params.gpu_velocity_clamp,
+            poses=poses,
         )
         overflow = (
             (structure.num_blocks > cfg.max_blocks)
@@ -384,7 +386,7 @@ class SparseMpmPipeline:
         )
         return p, overflow.astype(jnp.int32) * OVERFLOW_TABLES
 
-    def _step_impl(self, p):
+    def _step_impl(self, p, poses=None):
         grid, models, params = self.grid, self.models, self.params
         min_dt = params.dt / params.max_num_substeps
 
@@ -423,7 +425,7 @@ class SparseMpmPipeline:
             elif params.damage_model == DamageModel.CD_MPM:
                 p = self._update_phase_field_p(p, dt, structure)
 
-            p, ov = self._substep(p, dt, structure, inv_perm)
+            p, ov = self._substep(p, dt, structure, inv_perm, poses)
             remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
             return (p, remaining, niter + 1, overflow | ov, peak)
 
@@ -450,10 +452,18 @@ class SparseMpmPipeline:
         p, niter = self.step_with_stats(particles)
         return p
 
-    def step_with_stats(self, particles):
+    def step_with_stats(self, particles, poses=None):
+        """One frame; `poses` optionally overrides collider isometries for
+        this frame with runtime (traced) arrays — tuple aligned with the
+        collider set, None entries keep the baked static pose (ref: the CPU
+        solver reads the live rapier pose every step, mls_solver.rs:7-9)."""
         self._ensure_cfg(particles)
+        # poses=None stays OUT of the call: the domain subclass's shard_map
+        # wrapper declares a single (particles,) input spec, and the default
+        # argument covers the static case identically.
+        args = (particles,) if poses is None else (particles, poses)
         for _attempt in range(6):
-            p, niter, overflow, peak = self._jit(particles)
+            p, niter, overflow, peak = self._jit(*args)
             flags = int(overflow)
             if flags == 0:
                 self._adapt_capacity(int(peak), p)

@@ -29,9 +29,11 @@ from urllib.parse import urlparse, parse_qs
 
 import numpy as np
 
-# Color modes served to the page (viz.MODES minus "blocks", which needs the
-# grid object; snapshots are self-describing arrays only).
-MODES = ("static", "velocity", "density_ratio", "position", "phase")
+# Color modes served to the page — the full viz.MODES set ("blocks" uses
+# the grid metadata run.py embeds in each snapshot; older snapshots without
+# it fall back to "position"). Ref: testbed_plugin.rs:38-58 ParticleMode.
+MODES = ("static", "velocity", "density_ratio", "position", "phase",
+         "blocks")
 
 _FRAME_RE = re.compile(r"frame_(\d+)\.npz$")
 
@@ -104,6 +106,27 @@ def frame_points(npz, mode="velocity", max_points=300_000):
         if c.shape[1] == 2:
             c = np.concatenate([c, np.full((len(c), 1), 0.5)], axis=1)
         rgb = c[:, :3]
+    elif mode == "blocks":
+        # Color by owning 4^d block (ref: testbed_plugin.rs:38-58
+        # ParticleMode::Blocks) — same hash as viz.py's PNG variant.
+        if "cell_width" in npz:
+            h = float(np.asarray(npz["cell_width"]))
+            origin = np.asarray(npz["grid_origin"], np.float32)
+            cell = np.floor((pos - origin[None, : pos.shape[1]]) / h).astype(
+                np.int64
+            ) // 4  # sparse.blocks.BLOCK_SIDE
+            key = cell[:, 0]
+            for ax in range(1, cell.shape[1]):
+                key = key * 1000 + cell[:, ax]
+            rgb = _colormap(
+                "viridis", (key * 2654435761 % 997) / 997.0
+            )
+        else:  # pre-round-4 snapshot without grid metadata
+            span = np.maximum(pos.max(0) - pos.min(0), 1e-9)
+            c = (pos - pos.min(0)) / span
+            if c.shape[1] == 2:
+                c = np.concatenate([c, np.full((len(c), 1), 0.5)], axis=1)
+            rgb = c[:, :3]
     else:
         raise ValueError(f"unknown mode {mode}; choose from {MODES}")
 

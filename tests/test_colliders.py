@@ -288,3 +288,26 @@ def test_polyline_projection_and_winding():
                     cross += 1
         if np.sqrt(best_d2) > 1e-3:
             assert bool(got_in) == (cross % 2 == 1), (p, cross)
+
+
+def test_flip_interior_inverts_containment():
+    """flip_interior inverts is_inside (ref: CudaColliderOptions.flip_interior,
+    cuda_collider_set.rs:26; gpu_collider.rs:64-66 `!proj.is_inside`, and the
+    above-surface-is-solid heightfield variant, :82-88)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparkl_tpu.geometry.colliders import ball, cuboid, heightfield
+
+    pts2 = jnp.asarray([[0.0, 0.1], [2.0, 0.0]], jnp.float32)
+    for mk in (lambda **kw: ball(0.5, translation=(0.0, 0.0), **kw),
+               lambda **kw: cuboid((0.5, 0.5), translation=(0.0, 0.0), **kw)):
+        p0, i0 = mk().project_point(pts2)
+        p1, i1 = mk(flip_interior=True).project_point(pts2)
+        # Projection point unchanged; containment inverted.
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=0.0)
+        assert np.array_equal(np.asarray(i1), ~np.asarray(i0))
+
+    h = heightfield(np.zeros(5, np.float32), scale=(2.0, 1.0),
+                    flip_interior=True)
+    _, ih = h.project_point(jnp.asarray([[0.0, 0.5], [0.0, -0.5]], jnp.float32))
+    assert bool(ih[0]) and not bool(ih[1])  # above-surface is now solid

@@ -1,0 +1,144 @@
+"""Runtime (moving) collider poses.
+
+The reference's CPU solver reads the live rapier ColliderSet every step
+(src/dynamics/solver/mls_solver.rs:7-9; the testbed animates colliders per
+frame, testbed_plugin.rs:452-456). Here poses are traced inputs:
+`collider_pose_fn(t)` on the fused pipeline / `poses=` on step_with_stats —
+animated colliders must run WITHOUT re-jit and agree with the dense
+reference stepped at the same per-frame poses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparkl_tpu.scenes as scenes
+from sparkl_tpu.solver.pipeline import MpmPipeline
+from sparkl_tpu.fused.pipeline import FusedMpmPipeline
+from sparkl_tpu.geometry.colliders import cuboid, ball
+
+
+def _active_positions(p):
+    act = np.asarray(p.active)
+    return np.asarray(p.position)[act]
+
+
+def test_project_point_pose_override_matches_baked():
+    """project_point(pts, pose) at the baked pose == project_point(pts)."""
+    c = cuboid((0.3, 0.2), translation=(1.0, 2.0), rotation=np.array(
+        [[0.0, -1.0], [1.0, 0.0]], np.float32))
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 3, (64, 2)),
+                      jnp.float32)
+    p0, i0 = c.project_point(pts)
+    p1, i1 = c.project_point(
+        pts, (jnp.asarray(c.translation), jnp.asarray(c.rotation))
+    )
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_pose_override_translates_the_shape():
+    """A translated pose must move the containment region with it."""
+    c = ball(0.5, translation=(0.0, 0.0))
+    pts = jnp.asarray([[2.0, 0.0], [0.0, 0.0]], jnp.float32)
+    _, inside0 = c.project_point(pts)
+    assert not bool(inside0[0]) and bool(inside0[1])
+    moved = (jnp.asarray([2.0, 0.0], jnp.float32), jnp.eye(2))
+    _, inside1 = c.project_point(pts, moved)
+    assert bool(inside1[0]) and not bool(inside1[1])
+
+
+def test_fused_moving_collider_matches_dense():
+    """sweep2 for 3 frames: fused (collider_pose_fn inside the jitted span)
+    vs dense (poses= per frame) — same trajectories."""
+    b = scenes.build("sweep2", n=20)
+    frames = 3
+
+    dense_pipe = MpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks
+    )
+    # step_with_stats donates its input; keep the original for the fused run.
+    pd = jax.tree_util.tree_map(jnp.array, b.particles)
+    for i in range(frames):
+        poses = b.collider_pose_fn(i * float(b.params.dt))
+        pd, _ = dense_pipe.step_with_stats(pd, poses=poses)
+
+    fused_pipe = FusedMpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
+        collider_pose_fn=b.collider_pose_fn,
+    )
+    st = fused_pipe.pack_state(b.particles)
+    st, _ = fused_pipe.run_frames_state(st, frames)
+    pf = fused_pipe.unpack_state(st)
+
+    ad = _active_positions(pd)
+    af = _active_positions(pf)
+    assert ad.shape == af.shape
+    np.testing.assert_allclose(ad, af, atol=2e-4)
+
+
+def test_moving_pose_changes_the_outcome():
+    """The animated paddle must actually move material: a 3-frame sweep2 run
+    with the pose animation differs from the same run with the paddle frozen
+    at t=0 (guards against the pose silently not reaching the solver)."""
+    b = scenes.build("sweep2", n=20, amp=6.0 / 128.0, period=0.15)
+    frames = 6
+
+    moving = FusedMpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
+        collider_pose_fn=b.collider_pose_fn,
+    )
+    st = moving.pack_state(b.particles)
+    st, _ = moving.run_frames_state(st, frames)
+    p_moving = moving.unpack_state(st)
+
+    frozen = FusedMpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
+    )
+    st = frozen.pack_state(b.particles)
+    st, _ = frozen.run_frames_state(st, frames)
+    p_frozen = frozen.unpack_state(st)
+
+    a, c = _active_positions(p_moving), _active_positions(p_frozen)
+    assert np.max(np.abs(a - c)) > 1e-3
+
+
+def test_animated_span_does_not_rejit():
+    """Simulation time enters as a traced scalar: consecutive spans (each at
+    a different t0, hence different pose values) reuse ONE compiled
+    program."""
+    b = scenes.build("sweep2", n=16)
+    pipe = FusedMpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity, b.hooks,
+        collider_pose_fn=b.collider_pose_fn,
+    )
+    st = pipe.pack_state(b.particles)
+    st, _ = pipe.run_frames_state(st, 1)
+    n_compiles = pipe._jit._cache_size()
+    st, _ = pipe.run_frames_state(st, 1)  # t0 advanced -> new pose values
+    assert pipe._jit._cache_size() == n_compiles
+    assert pipe._sim_time == pytest.approx(2 * float(b.params.dt))
+
+
+def test_dense_poses_match_static_when_identical():
+    """Passing poses equal to the baked isometries must reproduce the
+    static-collider trajectory bit-for-bit (the override path is the same
+    math, just traced operands)."""
+    b = scenes.build("sweep2", n=16)
+    static_poses = tuple(
+        (jnp.asarray(c.translation), jnp.asarray(c.rotation))
+        for c in b.colliders
+    )
+    # step_with_stats donates its input: give each run its own copy.
+    p0, _ = MpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity
+    ).step_with_stats(jax.tree_util.tree_map(jnp.array, b.particles))
+    p1, _ = MpmPipeline(
+        b.grid, b.models, b.colliders, b.params, b.gravity
+    ).step_with_stats(
+        jax.tree_util.tree_map(jnp.array, b.particles), poses=static_poses
+    )
+    np.testing.assert_allclose(
+        np.asarray(p0.position), np.asarray(p1.position), atol=0.0
+    )
