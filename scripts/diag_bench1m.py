@@ -37,17 +37,17 @@ def main():
     n = int(np.asarray(p.num_active))
     print(f"n_active={n}", flush=True)
 
-    # Warmup/compile + advance into the falling phase (same as bench.py).
-    p, _ = pipe.run_frames(p, frames)
+    # State-resident spans, exactly what bench.py measures since round 4:
+    # pack once, advance resident slot state (run_frames would re-pack and
+    # re-unpack EVERY span — ~3.3 s of op-by-op dispatches at 1M, the round-3
+    # bench bug).
+    state = pipe.pack_state(p)
+    state, _ = pipe.run_frames_state(state, frames)
     print("warm done", flush=True)
-    # Re-count after the warmup fall: particles can fail/deactivate, and the
-    # measured-span throughput should use the population actually stepped.
-    n = int(np.asarray(p.num_active))
-    print(f"n_active after warmup={n}", flush=True)
 
     for rep in range(3):
         t0 = time.perf_counter()
-        _, total = pipe.run_frames(p, frames)
+        state, total = pipe.run_frames_state(state, frames)  # int() = sync
         dt = time.perf_counter() - t0
         total = int(total)
         nres = getattr(pipe, "last_resorts", None)
@@ -62,6 +62,9 @@ def main():
             f"pups={n*total/dt/1e6:.1f}M",
             flush=True,
         )
+    # The stage profilers below take an UNPACKED population at the fallen
+    # state (they re-pack internally).
+    p = pipe.unpack_state(state)
 
     print("profiling substep stages at the fallen state...", flush=True)
     t = profile_fused_substep(pipe, p)

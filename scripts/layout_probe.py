@@ -28,15 +28,23 @@ def bench(name, kernel, shape, spec):
         )(x)
     def loop(x):
         def body(c, _):
-            return c + 0.0 * jnp.sum(run(x)), ()
-        return jax.lax.scan(body, 0.0, None, length=ITERS)[0]
+            # The kernel input must DEPEND on the carry: with a loop-invariant
+            # input XLA hoists the pallas_call out of the scan (LICM) and the
+            # probe times an empty loop (the round-4 first runs printed
+            # 0.000-0.001 ms rows). 1e-30*sum keeps c ~0 without DCE.
+            return 1e-30 * jnp.sum(run(x + c)), ()
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[0]
     jf = jax.jit(loop)
-    r = jf(x); r.block_until_ready()
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter(); r = jf(x); r.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:24s} {best/ITERS*1000:7.3f} ms")
+    float(jf(x))  # warm (value read = real sync through the tunnel)
+    # MEDIAN of value-read reps: through the axon tunnel block_until_ready
+    # can return without the work being done (observed ~60us "reps" on a
+    # 70ms program); reading the scalar result is the only reliable sync.
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter(); float(jf(x))
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    print(f"{name:24s} {reps[2]/ITERS*1000:7.3f} ms", flush=True)
 
 def k_chunk_major(x_ref, o_ref):
     data = x_ref[...]  # [NR, NF, C]
@@ -77,15 +85,23 @@ def bench_w(name, kernel, shape, ispec, oshape, ospec):
         )(x)
     def loop(x):
         def body(c, _):
-            return c + 0.0 * jnp.sum(run(x)), ()
-        return jax.lax.scan(body, 0.0, None, length=ITERS)[0]
+            # The kernel input must DEPEND on the carry: with a loop-invariant
+            # input XLA hoists the pallas_call out of the scan (LICM) and the
+            # probe times an empty loop (the round-4 first runs printed
+            # 0.000-0.001 ms rows). 1e-30*sum keeps c ~0 without DCE.
+            return 1e-30 * jnp.sum(run(x + c)), ()
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)[0]
     jf = jax.jit(loop)
-    r = jf(x); r.block_until_ready()
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter(); r = jf(x); r.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:24s} {best/ITERS*1000:7.3f} ms")
+    float(jf(x))  # warm (value read = real sync through the tunnel)
+    # MEDIAN of value-read reps: through the axon tunnel block_until_ready
+    # can return without the work being done (observed ~60us "reps" on a
+    # 70ms program); reading the scalar result is the only reliable sync.
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter(); float(jf(x))
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    print(f"{name:24s} {reps[2]/ITERS*1000:7.3f} ms", flush=True)
 
 bench_w("r+w chunk-major", kw_chunk_major, (D, NF, C),
         pl.BlockSpec((NR, NF, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

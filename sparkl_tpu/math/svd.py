@@ -158,17 +158,14 @@ def _cos_acos3(r):
     return x
 
 
-def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
-    """Closed-form eigendecomposition of a symmetric 3x3 (components already
-    scale-normalized): eigenvalues by the trigonometric Cardano formula,
-    eigenvectors by max-norm row cross products of (A - lambda I) anchored at
-    the better-separated end of the spectrum (clustered eigenvalues have
-    ill-conditioned individual eigenvectors but any orthonormal basis of the
-    cluster subspace is equally valid — the Gram-Schmidt fallbacks pick one).
-    Returns ([l0, l1, l2] descending, cols = [v0, v1, v2] as 3-tuples)."""
-    one = jnp.ones_like(a00)
-    zero = jnp.zeros_like(a00)
-
+def _cardano_trig_vals(a00, a01, a02, a11, a12, a22):
+    """Raw trigonometric-Cardano eigenvalues of a symmetric 3x3 (components
+    already scale-normalized), descending. No PSD assumptions and no
+    invariant refinement: valid for ANY symmetric matrix (e.g. a Kirchhoff
+    stress with negative principal values). The small eigenvalues lose f32
+    accuracy when the spectrum spans orders of magnitude (they come out as
+    differences of O(trace) quantities) — callers that need them exact on a
+    PSD matrix apply the refinement in _sym_eig3x3_cardano."""
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
@@ -192,6 +189,21 @@ def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
     # cos(phi + 2pi/3) = -cphi/2 - sphi*sqrt(3)/2
     l2 = q + 2.0 * p * (-0.5 * cphi - 0.8660254037844386 * sphi)
     l1 = 3.0 * q - l0 - l2
+    return l0, l1, l2
+
+
+def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
+    """Closed-form eigendecomposition of a symmetric 3x3 (components already
+    scale-normalized): eigenvalues by the trigonometric Cardano formula,
+    eigenvectors by max-norm row cross products of (A - lambda I) anchored at
+    the better-separated end of the spectrum (clustered eigenvalues have
+    ill-conditioned individual eigenvectors but any orthonormal basis of the
+    cluster subspace is equally valid — the Gram-Schmidt fallbacks pick one).
+    Returns ([l0, l1, l2] descending, cols = [v0, v1, v2] as 3-tuples)."""
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+
+    l0, l1, l2 = _cardano_trig_vals(a00, a01, a02, a11, a12, a22)
 
     # Invariant refinement: the trig formula loses the SMALL eigenvalues to
     # f32 cancellation when the spectrum spans orders of magnitude (they come
@@ -530,7 +542,7 @@ def svd_values_c(f):
     if d == 2:
         _, s, _ = svd2x2_c(f)  # 2x2 closed form is already cheap
         return s
-    # A = F^T F (symmetric), Jacobi eigenvalues, sqrt.
+    # A = F^T F (symmetric), backend (cardano/jacobi) eigenvalues, sqrt.
     a = [
         [sum(f[k][i] * f[k][j] for k in range(3)) for j in range(3)]
         for i in range(3)
@@ -547,12 +559,18 @@ def sym_eigvals2x2_c(m):
     return [mean - r, mean + r]
 
 
-def sym_eigvals3x3_c(m):
-    """Eigenvalues of a symmetric 3x3 nested-list matrix via cyclic Jacobi.
+def sym_eigvals3x3_c(m, method=None):
+    """Eigenvalues of a symmetric 3x3 nested-list matrix (possibly negative,
+    unlike svd singular values). Used by the maximum-stress failure model
+    inside the fused kernels, where the arccos closed form of math/linalg.py
+    is unavailable (Mosaic lowers cos but not acos).
 
-    Unordered, possibly negative (unlike svd singular values). Used by the
-    maximum-stress failure model inside the fused kernels, where the trig
-    closed form (arccos) of math/linalg.py is unavailable.
+    Backend follows the module eig3 default: "cardano" = the acos-free trig
+    closed form (_cardano_trig_vals, ~2.5x fewer serial VPU ops than 4
+    Jacobi sweeps — the failure check runs inside kernel B's latency-bound
+    chain); "jacobi" = cyclic Jacobi. Both are exact on the dominant
+    eigenvalue; cardano's small-eigenvalue cancellation (~1e-6 relative to
+    max|eig|) is far inside the failure thresholds' tolerance.
     """
     a00, a11, a22 = m[0][0], m[1][1], m[2][2]
     a01, a02, a12 = m[0][1], m[0][2], m[1][2]
@@ -562,6 +580,10 @@ def sym_eigvals3x3_c(m):
     inv = 1.0 / scale
     a00, a11, a22 = a00 * inv, a11 * inv, a22 * inv
     a01, a02, a12 = a01 * inv, a02 * inv, a12 * inv
+
+    if (method or _EIG3_METHOD) == "cardano":
+        l0, l1, l2 = _cardano_trig_vals(a00, a01, a02, a11, a12, a22)
+        return [l0 * scale, l1 * scale, l2 * scale]
 
     def rot(a, p, q):
         r = 3 - p - q
