@@ -379,146 +379,165 @@ def _timestep_bound_c(meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0,
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, tab_f, tab_i, out_ref):
-    dim = grid.dim
-    r = L.Rows(dim)
-    data = slots_ref[...]  # [R, NF, C]
-    iref = ints_ref[...]  # [R, NI, C]
-    dt = dt_ref[0, 0]
-    with_psi = meta["with_psi"]
-    invd = kernel_inv_d(grid.cell_width)
-    row = lambda k: data[:, k, :]  # [R, C]
+def _p2g_kernel(grid, meta, nr, slots_ref, ints_ref, dt_ref, nc_ref, tab_f,
+                tab_i, out_ref):
+    # Live-program gate: chunks >= num_chunks are capacity padding (slot
+    # rows zeroed at resort; calibration slack keeps ~1/3 of capacity
+    # dead at steady state) — skip their whole per-particle chain. Their
+    # images are never merged (the structure tables index live chunks
+    # only), so zeros keep the output deterministic and inf/NaN-free.
+    live = pl.program_id(0) * nr < nc_ref[0, 0]
 
-    mid = iref[:, L.I_MODEL, :]
-    flags = iref[:, L.I_FLAGS, :]
-    active = (flags & L.ACTIVE) != 0
-    failed = row(r.failed) != 0.0
-    phase = row(r.phase)
-    eh = row(r.eh)
-    mass = row(r.mass)
-    vol0 = row(r.vol0)
-    f = _mat(row, r.defgrad, dim)
-    g = _mat(row, r.grad, dim)
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    if meta.get("stress_cache"):
-        # Stress was computed by the PREVIOUS kernel B (or pack) from the
-        # same F this kernel reads — skips this kernel's SVD entirely
-        # (measured ~70% of kernel A at 500k). Gated off for damage/failure
-        # scenes, whose phase can change between the kernels.
-        stress = _cached_stress_read_c(
-            meta, tab_f, tab_i, mid, row, r, f, g, mass, vol0
-        )
-    else:
-        stress = _kirchhoff_stress_c(
-            meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
-        )
-    # affine = m*C - V0*invd*dt*sigma, zero stress for failed debris
-    # (ref: particle_to_grid.rs / dense.p2g_scatter).
-    coeff = vol0 * invd * dt
-    affine = [
-        [
-            mass * g[i][j] - jnp.where(failed, 0.0, coeff * stress[i][j])
-            for j in range(dim)
-        ]
-        for i in range(dim)
-    ]
+    @pl.when(live)
+    def _live():
+        dim = grid.dim
+        r = L.Rows(dim)
+        data = slots_ref[...]  # [R, NF, C]
+        iref = ints_ref[...]  # [R, NI, C]
+        dt = dt_ref[0, 0]
+        with_psi = meta["with_psi"]
+        invd = kernel_inv_d(grid.cell_width)
+        row = lambda k: data[:, k, :]  # [R, C]
 
-    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
-    contrib = (active & in_window & in_bounds).astype(jnp.float32)
+        mid = iref[:, L.I_MODEL, :]
+        flags = iref[:, L.I_FLAGS, :]
+        active = (flags & L.ACTIVE) != 0
+        failed = row(r.failed) != 0.0
+        phase = row(r.phase)
+        eh = row(r.eh)
+        mass = row(r.mass)
+        vol0 = row(r.vol0)
+        f = _mat(row, r.defgrad, dim)
+        g = _mat(row, r.grad, dim)
 
-    m_c = mass * contrib
-    parts = [m_c] + [m_c * row(r.vel + ax) for ax in range(dim)]
-    if with_psi:
-        cpf = row(r.cpf)
-        psi_mass = jnp.where((phase > 0.0) & (cpf != 0.0) & ~failed, mass, 0.0)
-        psi_mom = psi_mass * row(r.psi_pos)
-        parts += [psi_mom * contrib, psi_mass * contrib]
-    p0 = jnp.stack(parts, axis=1)  # [R, 1+d(+2), C]
-    a_cols = [
-        jnp.stack([contrib * affine[i][j] for i in range(dim)], axis=1)
-        for j in range(dim)
-    ]  # per j: [R, d, C]
-
-    rs = region_side()
-    c = data.shape[2]
-    nf0 = 1 + dim + (2 if with_psi else 0)
-    for i in range(nr):
-        w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
-        p0_i = p0[i]  # [F0, C]
-        acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
-        td = meta.get("tdtype", jnp.float32)
-        if dim == 2:
-            # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
-            # (Mixed bounded-slice + newaxis indexing lowers through gather
-            # in Mosaic — expand first, slice after.)
-            base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
-            extra = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
-            b = jnp.concatenate(
-                [base[0:1], base[1 : 1 + dim] + extra]
-                + ([base[1 + dim :]] if with_psi else []),  # 0-size slices
-                axis=0,                                     # invalid in Mosaic
-            )
-            b_al = acol[1][:, None, :] * w_ax[0][None]
-            out1 = _dot_nt(b.reshape(nf0 * rs, c).astype(td), w_ax[1].astype(td))
-            out2 = _dot_nt(
-                b_al.reshape(dim * rs, c).astype(td), wd_ax[1].astype(td)
-            )
-            out_ref[i] = jnp.concatenate(
-                [out1[:rs], out1[rs : rs * (1 + dim)] + out2]
-                + ([out1[rs * (1 + dim) :]] if with_psi else []),
-                axis=0,
+        if meta.get("stress_cache"):
+            # Stress was computed by the PREVIOUS kernel B (or pack) from the
+            # same F this kernel reads — skips this kernel's SVD entirely
+            # (measured ~70% of kernel A at 500k). Gated off for damage/failure
+            # scenes, whose phase can change between the kernels.
+            stress = _cached_stress_read_c(
+                meta, tab_f, tab_i, mid, row, r, f, g, mass, vol0
             )
         else:
-            # z-major factorization: expand the CHEAP axis (8 z-taps) on the
-            # VPU and contract the 64-wide xy sheet on the MXU — output rows
-            # (flavor, z), lanes xy. vs the round-3a form ([F*64, C] @ [C, 8])
-            # this is ~4x fewer streamed MXU rows (104 vs 448 per chunk; dot
-            # cost is M-bound on the MXU) and ~8x less VPU expansion. The
-            # emitted region-cell order is z-major (q = z*64 + x*8 + y);
-            # merge/windows fold the relabel into their existing constant
-            # permutations (transfer.ZMAJOR_ORDER_3D).
-            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
-                rs * rs, c
+            stress = _kirchhoff_stress_c(
+                meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
             )
-            wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
-                rs * rs, c
-            )
-            wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
-                rs * rs, c
-            )
-            wz, wdz = w_ax[2], wd_ax[2]
-            bz = p0_i[:, None, :] * wz[None]  # [F0, 8, C]
-            az_x = acol[0][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_x
-            az_y = acol[1][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_y
-            az_d = acol[2][:, None, :] * wdz[None]  # [d, 8, C] vs w_xy
-            m1 = jnp.concatenate(
-                [bz.reshape(nf0 * rs, c), az_d.reshape(dim * rs, c)], axis=0
-            )
-            o1 = _dot_nt(m1.astype(td), w_xy.astype(td))  # [(F0+d)*8, 64]
-            o2 = _dot_nt(az_x.reshape(dim * rs, c).astype(td), wd_xy_x.astype(td))
-            o3 = _dot_nt(az_y.reshape(dim * rs, c).astype(td), wd_xy_y.astype(td))
-            mom = (
-                o1[rs : rs * (1 + dim)]
-                + o1[nf0 * rs : (nf0 + dim) * rs]
-                + o2
-                + o3
-            )
-            out_ref[i] = jnp.concatenate(
-                [o1[:rs], mom]
-                + ([o1[rs * (1 + dim) : nf0 * rs]] if with_psi else []),
-                axis=0,
-            )
+        # affine = m*C - V0*invd*dt*sigma, zero stress for failed debris
+        # (ref: particle_to_grid.rs / dense.p2g_scatter).
+        coeff = vol0 * invd * dt
+        affine = [
+            [
+                mass * g[i][j] - jnp.where(failed, 0.0, coeff * stress[i][j])
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+
+        in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+        contrib = (active & in_window & in_bounds).astype(jnp.float32)
+
+        m_c = mass * contrib
+        parts = [m_c] + [m_c * row(r.vel + ax) for ax in range(dim)]
+        if with_psi:
+            cpf = row(r.cpf)
+            psi_mass = jnp.where((phase > 0.0) & (cpf != 0.0) & ~failed, mass, 0.0)
+            psi_mom = psi_mass * row(r.psi_pos)
+            parts += [psi_mom * contrib, psi_mass * contrib]
+        p0 = jnp.stack(parts, axis=1)  # [R, 1+d(+2), C]
+        a_cols = [
+            jnp.stack([contrib * affine[i][j] for i in range(dim)], axis=1)
+            for j in range(dim)
+        ]  # per j: [R, d, C]
+
+        rs = region_side()
+        c = data.shape[2]
+        nf0 = 1 + dim + (2 if with_psi else 0)
+        for i in range(nr):
+            w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
+            p0_i = p0[i]  # [F0, C]
+            acol = [a_cols[j][i] for j in range(dim)]  # per axis j: [d, C]
+            td = meta.get("tdtype", jnp.float32)
+            if dim == 2:
+                # x expansion [F0, 8, C]; affine x-column rides the wdx taps.
+                # (Mixed bounded-slice + newaxis indexing lowers through gather
+                # in Mosaic — expand first, slice after.)
+                base = p0_i[:, None, :] * w_ax[0][None]  # [F0, 8, C]
+                extra = acol[0][:, None, :] * wd_ax[0][None]  # [d, 8, C]
+                b = jnp.concatenate(
+                    [base[0:1], base[1 : 1 + dim] + extra]
+                    + ([base[1 + dim :]] if with_psi else []),  # 0-size slices
+                    axis=0,                                     # invalid in Mosaic
+                )
+                b_al = acol[1][:, None, :] * w_ax[0][None]
+                out1 = _dot_nt(b.reshape(nf0 * rs, c).astype(td), w_ax[1].astype(td))
+                out2 = _dot_nt(
+                    b_al.reshape(dim * rs, c).astype(td), wd_ax[1].astype(td)
+                )
+                out_ref[i] = jnp.concatenate(
+                    [out1[:rs], out1[rs : rs * (1 + dim)] + out2]
+                    + ([out1[rs * (1 + dim) :]] if with_psi else []),
+                    axis=0,
+                )
+            else:
+                # z-major factorization: expand the CHEAP axis (8 z-taps) on the
+                # VPU and contract the 64-wide xy sheet on the MXU — output rows
+                # (flavor, z), lanes xy. vs the round-3a form ([F*64, C] @ [C, 8])
+                # this is ~4x fewer streamed MXU rows (104 vs 448 per chunk; dot
+                # cost is M-bound on the MXU) and ~8x less VPU expansion. The
+                # emitted region-cell order is z-major (q = z*64 + x*8 + y);
+                # merge/windows fold the relabel into their existing constant
+                # permutations (transfer.ZMAJOR_ORDER_3D).
+                w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                    rs * rs, c
+                )
+                wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                    rs * rs, c
+                )
+                wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
+                    rs * rs, c
+                )
+                wz, wdz = w_ax[2], wd_ax[2]
+                bz = p0_i[:, None, :] * wz[None]  # [F0, 8, C]
+                az_x = acol[0][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_x
+                az_y = acol[1][:, None, :] * wz[None]  # [d, 8, C] vs wd_xy_y
+                az_d = acol[2][:, None, :] * wdz[None]  # [d, 8, C] vs w_xy
+                m1 = jnp.concatenate(
+                    [bz.reshape(nf0 * rs, c), az_d.reshape(dim * rs, c)], axis=0
+                )
+                o1 = _dot_nt(m1.astype(td), w_xy.astype(td))  # [(F0+d)*8, 64]
+                o2 = _dot_nt(az_x.reshape(dim * rs, c).astype(td), wd_xy_x.astype(td))
+                o3 = _dot_nt(az_y.reshape(dim * rs, c).astype(td), wd_xy_y.astype(td))
+                mom = (
+                    o1[rs : rs * (1 + dim)]
+                    + o1[nf0 * rs : (nf0 + dim) * rs]
+                    + o2
+                    + o3
+                )
+                out_ref[i] = jnp.concatenate(
+                    [o1[:rs], mom]
+                    + ([o1[rs * (1 + dim) : nf0 * rs]] if with_psi else []),
+                    axis=0,
+                )
 
 
 def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
-              interpret=False, vma=None):
+              interpret=False, vma=None, nchunks=None):
     """Slot state -> window images [D, 1+d(+2), 8^d].
 
     The kernel emits rows = (flavor, leading axes), lanes = final dot axis —
     in 3D rows (f, z) and lanes xy, making the image region-cell order
     z-major (q = z*64 + x*8 + y, transfer.ZMAJOR_ORDER_3D); in 2D rows
     (f, x), lanes y (plain row-major). The trailing reshape is a free
-    linear-order reinterpretation."""
+    linear-order reinterpretation.
+
+    nchunks (traced scalar, structure.num_chunks) gates the per-program
+    physics chain to LIVE chunks: capacity padding (~1/3 of programs at
+    calibration slack 1.4) writes zero images and skips everything else.
+    None = all programs live (the pre-gate behavior)."""
     dim = grid.dim
     r = L.Rows(dim)
     rc = region_cells(dim)
@@ -530,6 +549,8 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
     nr = _r_of(cfg, interpret)
     rows_out = nf_out * rs if dim == 3 else nf_out * (rc // rs)
 
+    if nchunks is None:
+        nchunks = jnp.asarray(d_, jnp.int32)
     kernel = functools.partial(_p2g_kernel, grid, meta, nr)
     out = pl.pallas_call(
         kernel,
@@ -537,6 +558,7 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -549,7 +571,8 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
             (d_, rows_out, rc * nf_out // rows_out), jnp.float32, vma
         ),
         interpret=interpret,
-    )(slots, ints, dt.reshape(1, 1), tab_f, tab_i)
+    )(slots, ints, dt.reshape(1, 1),
+      nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i)
     return out.reshape(d_, nf_out, rc)
 
 
@@ -1107,317 +1130,328 @@ def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None)
 
 
 def _g2p_kernel(grid, meta, params, nr, slots_ref, ints_ref, win_ref, dt_ref,
-                tab_f, tab_i, out_ref):
-    dim = grid.dim
-    r = L.Rows(dim)
-    h = grid.cell_width
-    invd = kernel_inv_d(h)
-    data = slots_ref[...]  # [R, NF, C]
-    iref = ints_ref[...]
-    dt = dt_ref[0, 0]
-    with_psi = meta["with_psi"]
-    m_count = meta["m_count"]
-    present_p = meta["present_p"]
-    present_f = meta["present_f"]
-    row = lambda k: data[:, k, :]  # [R, C]
+                nc_ref, tab_f, tab_i, out_ref):
+    # Live-program gate (see _p2g_kernel): dead capacity chunks pass
+    # their (resort-zeroed) slot rows through untouched — cum_disp,
+    # keys, and unpack all mask by the int flags, so zeros stay inert.
+    live = pl.program_id(0) * nr < nc_ref[0, 0]
 
-    mid = iref[:, L.I_MODEL, :]
-    flags = iref[:, L.I_FLAGS, :]
-    active = (flags & L.ACTIVE) != 0
-    is_static = (flags & L.STATIC) != 0
-    kinematic = (flags & L.KINEMATIC) != 0
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        out_ref[...] = slots_ref[...]
 
-    # --- gather (factorized: last-axis contraction as [M, 8] @ [8, C] MXU
-    # dots — the per-particle weight matrix IS the right operand — then
-    # per-axis VPU reductions; ~5x fewer MXU passes than full-window dots) --
-    in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
-    contrib = active & in_window & in_bounds
-    contrib_f = contrib.astype(jnp.float32)
-    rs = region_side()
-    n_win = dim + (1 if with_psi else 0)
-    rpf = rs ** (dim - 1)
+    @pl.when(live)
+    def _live():
+        dim = grid.dim
+        r = L.Rows(dim)
+        h = grid.cell_width
+        invd = kernel_inv_d(h)
+        data = slots_ref[...]  # [R, NF, C]
+        iref = ints_ref[...]
+        dt = dt_ref[0, 0]
+        with_psi = meta["with_psi"]
+        m_count = meta["m_count"]
+        present_p = meta["present_p"]
+        present_f = meta["present_f"]
+        row = lambda k: data[:, k, :]  # [R, C]
 
-    gathered = []  # per chunk: [d + d*d (+1), C]
-    for i in range(nr):
-        w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
-        td = meta.get("tdtype", jnp.float32)
-        c_ = data.shape[2]
-        if dim == 2:
-            win = win_ref[i].astype(td)  # [n_win*8, 8] (y on lanes)
-            t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*8, C]
-            t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*8, C]
-            wsh = w_ax[0]  # [8, C]
-            wsh_d0 = wd_ax[0]
-            t1r = t1.reshape(n_win, rpf, t1.shape[-1])
-            t1lr = t1l.reshape(dim, rpf, t1.shape[-1])
-            velpsi = jnp.sum(t1r * wsh[None], axis=1)  # [n_win, C]
-            g0 = invd * jnp.sum(t1r[:dim] * wsh_d0[None], axis=1)
-            glast = invd * jnp.sum(t1lr * wsh[None], axis=1)
-            cols = [g0, glast]
-        else:
-            # z-major gather (window rows (flavor, z), lanes xy — the order
-            # kernel A emits): contract the 64-wide xy sheet on the MXU
-            # (K=64 vs the previous K=8 against the z taps — 5x fewer
-            # streamed rows), then reduce the 8 z taps on the VPU.
-            win = win_ref[i].astype(td)  # [n_win*8, 64]
-            w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
-                rs * rs, c_
-            )
-            wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
-                rs * rs, c_
-            )
-            wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
-                rs * rs, c_
-            )
-            wz, wdz = w_ax[2], wd_ax[2]
-            t = _dot(win, w_xy.astype(td))  # [n_win*8, C]
-            t_x = _dot(win[: dim * rs], wd_xy_x.astype(td))  # [d*8, C]
-            t_y = _dot(win[: dim * rs], wd_xy_y.astype(td))  # [d*8, C]
-            tr = t.reshape(n_win, rs, c_)
-            velpsi = jnp.sum(tr * wz[None], axis=1)  # [n_win, C]
-            g0 = invd * jnp.sum(t_x.reshape(dim, rs, c_) * wz[None], axis=1)
-            g1 = invd * jnp.sum(t_y.reshape(dim, rs, c_) * wz[None], axis=1)
-            glast = invd * jnp.sum(tr[:dim] * wdz[None], axis=1)
-            cols = [g0, g1, glast]
-        parts = [velpsi[:dim]] + cols
+        mid = iref[:, L.I_MODEL, :]
+        flags = iref[:, L.I_FLAGS, :]
+        active = (flags & L.ACTIVE) != 0
+        is_static = (flags & L.STATIC) != 0
+        kinematic = (flags & L.KINEMATIC) != 0
+
+        # --- gather (factorized: last-axis contraction as [M, 8] @ [8, C] MXU
+        # dots — the per-particle weight matrix IS the right operand — then
+        # per-axis VPU reductions; ~5x fewer MXU passes than full-window dots) --
+        in_window, in_bounds = _transfer_masks(grid, data, iref, dim, r)
+        contrib = active & in_window & in_bounds
+        contrib_f = contrib.astype(jnp.float32)
+        rs = region_side()
+        n_win = dim + (1 if with_psi else 0)
+        rpf = rs ** (dim - 1)
+
+        gathered = []  # per chunk: [d + d*d (+1), C]
+        for i in range(nr):
+            w_ax, wd_ax = _axis_weights_chunk(grid, data, iref, dim, r, i)
+            td = meta.get("tdtype", jnp.float32)
+            c_ = data.shape[2]
+            if dim == 2:
+                win = win_ref[i].astype(td)  # [n_win*8, 8] (y on lanes)
+                t1 = _dot(win, w_ax[-1].astype(td))  # [n_win*8, C]
+                t1l = _dot(win[: dim * rpf], wd_ax[-1].astype(td))  # [d*8, C]
+                wsh = w_ax[0]  # [8, C]
+                wsh_d0 = wd_ax[0]
+                t1r = t1.reshape(n_win, rpf, t1.shape[-1])
+                t1lr = t1l.reshape(dim, rpf, t1.shape[-1])
+                velpsi = jnp.sum(t1r * wsh[None], axis=1)  # [n_win, C]
+                g0 = invd * jnp.sum(t1r[:dim] * wsh_d0[None], axis=1)
+                glast = invd * jnp.sum(t1lr * wsh[None], axis=1)
+                cols = [g0, glast]
+            else:
+                # z-major gather (window rows (flavor, z), lanes xy — the order
+                # kernel A emits): contract the 64-wide xy sheet on the MXU
+                # (K=64 vs the previous K=8 against the z taps — 5x fewer
+                # streamed rows), then reduce the 8 z taps on the VPU.
+                win = win_ref[i].astype(td)  # [n_win*8, 64]
+                w_xy = (w_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                    rs * rs, c_
+                )
+                wd_xy_x = (wd_ax[0][:, None, :] * w_ax[1][None, :, :]).reshape(
+                    rs * rs, c_
+                )
+                wd_xy_y = (w_ax[0][:, None, :] * wd_ax[1][None, :, :]).reshape(
+                    rs * rs, c_
+                )
+                wz, wdz = w_ax[2], wd_ax[2]
+                t = _dot(win, w_xy.astype(td))  # [n_win*8, C]
+                t_x = _dot(win[: dim * rs], wd_xy_x.astype(td))  # [d*8, C]
+                t_y = _dot(win[: dim * rs], wd_xy_y.astype(td))  # [d*8, C]
+                tr = t.reshape(n_win, rs, c_)
+                velpsi = jnp.sum(tr * wz[None], axis=1)  # [n_win, C]
+                g0 = invd * jnp.sum(t_x.reshape(dim, rs, c_) * wz[None], axis=1)
+                g1 = invd * jnp.sum(t_y.reshape(dim, rs, c_) * wz[None], axis=1)
+                glast = invd * jnp.sum(tr[:dim] * wdz[None], axis=1)
+                cols = [g0, g1, glast]
+            parts = [velpsi[:dim]] + cols
+            if with_psi:
+                parts.append(velpsi[dim:])
+            gathered.append(jnp.concatenate(parts, axis=0))
+        gath = jnp.stack(gathered, axis=0)  # [R, d + d*d (+1), C]
+
+        vel = [contrib_f * gath[:, i, :] for i in range(dim)]
+        # gath rows d.. are column-major blocks: block j holds rows i of grad[i][j].
+        g = [
+            [contrib_f * gath[:, dim + j * dim + i, :] for j in range(dim)]
+            for i in range(dim)
+        ]
+        det = sum(g[j][j] for j in range(dim))
         if with_psi:
-            parts.append(velpsi[dim:])
-        gathered.append(jnp.concatenate(parts, axis=0))
-    gath = jnp.stack(gathered, axis=0)  # [R, d + d*d (+1), C]
-
-    vel = [contrib_f * gath[:, i, :] for i in range(dim)]
-    # gath rows d.. are column-major blocks: block j holds rows i of grad[i][j].
-    g = [
-        [contrib_f * gath[:, dim + j * dim + i, :] for j in range(dim)]
-        for i in range(dim)
-    ]
-    det = sum(g[j][j] for j in range(dim))
-    if with_psi:
-        psi_mom = contrib_f * gath[:, dim + dim * dim, :]
-    else:
-        psi_mom = jnp.zeros_like(vel[0])
-
-    # --- particle update (mirrors dense.particle_update_after_gather) ------
-    phase = row(r.phase)
-    failed = row(r.failed) != 0.0
-    mass = row(r.mass)
-    vol0 = row(r.vol0)
-    eh = row(r.eh)
-    ph = row(r.ph)
-    pdd = row(r.pdd)
-    lvg = row(r.lvg)
-    nacc_a = row(r.nacc)
-    psi_pos = row(r.psi_pos)
-    f = _mat(row, r.defgrad, dim)
-    ct = _select_itype(tab_i, mid, m_count, 0)
-    is_fluid = _type_mask(ct, con.EOS_MONAGHAN_SPH, meta["present_c"], m_count, exhaustive=True)
-
-    if meta["damage_model"] == 3:  # DamageModel.MODIFIED_EIGENEROSION
-        cpf = row(r.cpf)
-        crack_energy = cpf * h * psi_mom
-        trip = (cpf != 0.0) & (phase > 0.0) & (crack_energy > row(r.cthr))
-        phase = jnp.where(trip, 0.0, phase)
-
-    # Advection (kinematic override + optional GPU CFL clamp).
-    kin = [row(r.kinvel + ax) for ax in range(dim)]
-    vel = [jnp.where(kinematic, kin[i], vel[i]) for i in range(dim)]
-    if params["gpu_velocity_clamp"]:
-        over = None
-        for i in range(dim):
-            o = jnp.abs(vel[i]) * dt >= h
-            over = o if over is None else (over | o)
-        vel = [
-            jnp.where(over, jnp.sign(vel[i]) * (h / dt), vel[i]) for i in range(dim)
-        ]
-    pos = [row(r.pos + ax) + vel[ax] * dt for ax in range(dim)]
-
-    # Deformation gradient update (all-fluid scenes skip the solid F-update
-    # matmul statically; all-solid scenes skip the fluid-J row and blends).
-    if is_fluid is True:
-        f = [list(fr) for fr in f]
-        f[0][0] = f[0][0] + det * dt * f[0][0]
-    elif is_fluid is False:
-        gf = cmat.matmul_c(g, f)
-        f = [[f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)]
-    else:
-        gf = cmat.matmul_c(g, f)
-        f_solid = [
-            [f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)
-        ]
-        f00_fluid = f[0][0] + det * dt * f[0][0]
-        f = cmat.where_mat(is_fluid, f, f_solid)
-        f[0][0] = jnp.where(is_fluid, f00_fluid, f[0][0])
-
-    # Plastic return mapping (masked per present type).
-    pt = _select_itype(tab_i, mid, m_count, 1)
-    pp = [_select_param(tab_f, mid, m_count, TAB_P + k) for k in range(8)]
-    stress_cache = meta.get("stress_cache")
-    # SVD-reuse fast path: when Drucker-Prager is the only plasticity, ONE
-    # SVD of the post-update F serves the return map, the pos energy, AND
-    # the cached stress — DP only rescales singular values, so
-    # (U, s_sel, V) stays an exact SVD of the projected F. (Other plasticity
-    # models re-decompose internally; they fall back to a post-guard SVD.)
-    svd_reuse = (
-        stress_cache
-        and con.COROTATED in meta["present_c"]
-        and set(present_p) <= {plas.DRUCKER_PRAGER}
-    )
-    usv = svd_c(f) if svd_reuse else None
-    if plas.DRUCKER_PRAGER in present_p:
-        if svd_reuse:
-            f2, pdd2, ph2, lvg2, s_sel = plas.drucker_prager_update_with_svd_c(
-                pp, phase, f, pdd, ph, lvg, usv
-            )
+            psi_mom = contrib_f * gath[:, dim + dim * dim, :]
         else:
-            f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(
-                pp, phase, f, pdd, ph, lvg
-            )
-        m = _type_mask(pt, plas.DRUCKER_PRAGER, present_p, m_count)
-        if svd_reuse:
+            psi_mom = jnp.zeros_like(vel[0])
+
+        # --- particle update (mirrors dense.particle_update_after_gather) ------
+        phase = row(r.phase)
+        failed = row(r.failed) != 0.0
+        mass = row(r.mass)
+        vol0 = row(r.vol0)
+        eh = row(r.eh)
+        ph = row(r.ph)
+        pdd = row(r.pdd)
+        lvg = row(r.lvg)
+        nacc_a = row(r.nacc)
+        psi_pos = row(r.psi_pos)
+        f = _mat(row, r.defgrad, dim)
+        ct = _select_itype(tab_i, mid, m_count, 0)
+        is_fluid = _type_mask(ct, con.EOS_MONAGHAN_SPH, meta["present_c"], m_count, exhaustive=True)
+
+        if meta["damage_model"] == 3:  # DamageModel.MODIFIED_EIGENEROSION
+            cpf = row(r.cpf)
+            crack_energy = cpf * h * psi_mom
+            trip = (cpf != 0.0) & (phase > 0.0) & (crack_energy > row(r.cthr))
+            phase = jnp.where(trip, 0.0, phase)
+
+        # Advection (kinematic override + optional GPU CFL clamp).
+        kin = [row(r.kinvel + ax) for ax in range(dim)]
+        vel = [jnp.where(kinematic, kin[i], vel[i]) for i in range(dim)]
+        if params["gpu_velocity_clamp"]:
+            over = None
+            for i in range(dim):
+                o = jnp.abs(vel[i]) * dt >= h
+                over = o if over is None else (over | o)
+            vel = [
+                jnp.where(over, jnp.sign(vel[i]) * (h / dt), vel[i]) for i in range(dim)
+            ]
+        pos = [row(r.pos + ax) + vel[ax] * dt for ax in range(dim)]
+
+        # Deformation gradient update (all-fluid scenes skip the solid F-update
+        # matmul statically; all-solid scenes skip the fluid-J row and blends).
+        if is_fluid is True:
+            f = [list(fr) for fr in f]
+            f[0][0] = f[0][0] + det * dt * f[0][0]
+        elif is_fluid is False:
+            gf = cmat.matmul_c(g, f)
+            f = [[f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)]
+        else:
+            gf = cmat.matmul_c(g, f)
+            f_solid = [
+                [f[i][j] + dt * gf[i][j] for j in range(dim)] for i in range(dim)
+            ]
+            f00_fluid = f[0][0] + det * dt * f[0][0]
+            f = cmat.where_mat(is_fluid, f, f_solid)
+            f[0][0] = jnp.where(is_fluid, f00_fluid, f[0][0])
+
+        # Plastic return mapping (masked per present type).
+        pt = _select_itype(tab_i, mid, m_count, 1)
+        pp = [_select_param(tab_f, mid, m_count, TAB_P + k) for k in range(8)]
+        stress_cache = meta.get("stress_cache")
+        # SVD-reuse fast path: when Drucker-Prager is the only plasticity, ONE
+        # SVD of the post-update F serves the return map, the pos energy, AND
+        # the cached stress — DP only rescales singular values, so
+        # (U, s_sel, V) stays an exact SVD of the projected F. (Other plasticity
+        # models re-decompose internally; they fall back to a post-guard SVD.)
+        svd_reuse = (
+            stress_cache
+            and con.COROTATED in meta["present_c"]
+            and set(present_p) <= {plas.DRUCKER_PRAGER}
+        )
+        usv = svd_c(f) if svd_reuse else None
+        if plas.DRUCKER_PRAGER in present_p:
+            if svd_reuse:
+                f2, pdd2, ph2, lvg2, s_sel = plas.drucker_prager_update_with_svd_c(
+                    pp, phase, f, pdd, ph, lvg, usv
+                )
+            else:
+                f2, pdd2, ph2, lvg2 = plas.drucker_prager_update_c(
+                    pp, phase, f, pdd, ph, lvg
+                )
+            m = _type_mask(pt, plas.DRUCKER_PRAGER, present_p, m_count)
+            if svd_reuse:
+                usv = (
+                    usv[0],
+                    [_where_t(m, ss, s0) for ss, s0 in zip(s_sel, usv[1])],
+                    usv[2],
+                )
+            f = _where_mat_t(m, f2, f)
+            pdd = _where_t(m, pdd2, pdd)
+            ph = _where_t(m, ph2, ph)
+            lvg = _where_t(m, lvg2, lvg)
+        if plas.NACC in present_p:
+            f2, na2 = plas.nacc_update_c(pp[:6], f, nacc_a)
+            m = _type_mask(pt, plas.NACC, present_p, m_count)
+            f = _where_mat_t(m, f2, f)
+            nacc_a = _where_t(m, na2, nacc_a)
+        if plas.RANKINE in present_p:
+            f2, ph2 = plas.rankine_update_c(pp[:4], f, ph)
+            m = _type_mask(pt, plas.RANKINE, present_p, m_count)
+            f = _where_mat_t(m, f2, f)
+            ph = _where_t(m, ph2, ph)
+        if plas.SNOW in present_p:
+            f2, eh2, pdd2 = plas.snow_update_c(pp[:3], f, eh, pdd)
+            m = _type_mask(pt, plas.SNOW, present_p, m_count)
+            f = _where_mat_t(m, f2, f)
+            eh = _where_t(m, eh2, eh)
+            pdd = _where_t(m, pdd2, pdd)
+
+        # Static particles.
+        zero = jnp.zeros_like(vel[0])
+        vel = [jnp.where(is_static, 0.0, v) for v in vel]
+        g = cmat.where_mat(is_static, cmat.zeros_like_mat(g), g)
+
+        # Failure guards: det(F)=0, already failed, |F00| blowup (solids only).
+        detf = cmat.det_c(f)
+        broken = (detf == 0.0) | failed
+        if is_fluid is not True:
+            blow = jnp.abs(f[0][0]) > 1.0e4
+            if is_fluid is not False:
+                blow = ~is_fluid & blow
+            broken = broken | blow
+        f = cmat.where_mat(broken, cmat.identity_c(dim, zero), f)
+        g = cmat.where_mat(broken, cmat.zeros_like_mat(g), g)
+        failed_new = failed | broken
+        if usv is not None:
+            # Broken slots snapped F to identity above: force unit singular
+            # values so energy is 0 there (U/V go stale but their stress is
+            # both zero-valued and masked by `failed` in kernel A).
             usv = (
                 usv[0],
-                [_where_t(m, ss, s0) for ss, s0 in zip(s_sel, usv[1])],
+                [jnp.where(broken, 1.0, si) for si in usv[1]],
                 usv[2],
             )
-        f = _where_mat_t(m, f2, f)
-        pdd = _where_t(m, pdd2, pdd)
-        ph = _where_t(m, ph2, ph)
-        lvg = _where_t(m, lvg2, lvg)
-    if plas.NACC in present_p:
-        f2, na2 = plas.nacc_update_c(pp[:6], f, nacc_a)
-        m = _type_mask(pt, plas.NACC, present_p, m_count)
-        f = _where_mat_t(m, f2, f)
-        nacc_a = _where_t(m, na2, nacc_a)
-    if plas.RANKINE in present_p:
-        f2, ph2 = plas.rankine_update_c(pp[:4], f, ph)
-        m = _type_mask(pt, plas.RANKINE, present_p, m_count)
-        f = _where_mat_t(m, f2, f)
-        ph = _where_t(m, ph2, ph)
-    if plas.SNOW in present_p:
-        f2, eh2, pdd2 = plas.snow_update_c(pp[:3], f, eh, pdd)
-        m = _type_mask(pt, plas.SNOW, present_p, m_count)
-        f = _where_mat_t(m, f2, f)
-        eh = _where_t(m, eh2, eh)
-        pdd = _where_t(m, pdd2, pdd)
 
-    # Static particles.
-    zero = jnp.zeros_like(vel[0])
-    vel = [jnp.where(is_static, 0.0, v) for v in vel]
-    g = cmat.where_mat(is_static, cmat.zeros_like_mat(g), g)
-
-    # Failure guards: det(F)=0, already failed, |F00| blowup (solids only).
-    detf = cmat.det_c(f)
-    broken = (detf == 0.0) | failed
-    if is_fluid is not True:
-        blow = jnp.abs(f[0][0]) > 1.0e4
-        if is_fluid is not False:
-            blow = ~is_fluid & blow
-        broken = broken | blow
-    f = cmat.where_mat(broken, cmat.identity_c(dim, zero), f)
-    g = cmat.where_mat(broken, cmat.zeros_like_mat(g), g)
-    failed_new = failed | broken
-    if usv is not None:
-        # Broken slots snapped F to identity above: force unit singular
-        # values so energy is 0 there (U/V go stale but their stress is
-        # both zero-valued and masked by `failed` in kernel A).
-        usv = (
-            usv[0],
-            [jnp.where(broken, 1.0, si) for si in usv[1]],
-            usv[2],
+        # Pos energy accumulation. Under the stress cache, ONE SVD of the final
+        # F serves both the energy and the cached stress for the next kernel A
+        # (the reference's g2p2g computes stress once per substep in-kernel for
+        # the same reason, g2p2g.rs).
+        if stress_cache and usv is None and con.COROTATED in meta["present_c"]:
+            usv = svd_c(f)
+        energy = _pos_energy_c(
+            meta, tab_f, tab_i, mid, phase, eh, f,
+            s=(usv[1] if usv is not None else None),
         )
+        psi_pos = jnp.maximum(psi_pos, energy)
+        par1 = psi_pos * mass
+        par2 = mass
 
-    # Pos energy accumulation. Under the stress cache, ONE SVD of the final
-    # F serves both the energy and the cached stress for the next kernel A
-    # (the reference's g2p2g computes stress once per substep in-kernel for
-    # the same reason, g2p2g.rs).
-    if stress_cache and usv is None and con.COROTATED in meta["present_c"]:
-        usv = svd_c(f)
-    energy = _pos_energy_c(
-        meta, tab_f, tab_i, mid, phase, eh, f,
-        s=(usv[1] if usv is not None else None),
-    )
-    psi_pos = jnp.maximum(psi_pos, energy)
-    par1 = psi_pos * mass
-    par2 = mass
+        # Failure model.
+        if present_f:
+            stress = _kirchhoff_stress_c(
+                meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
+            )
+            ft = _select_itype(tab_i, mid, m_count, 2)
+            fp = [_select_param(tab_f, mid, m_count, TAB_F + k) for k in range(2)]
+            tripped = jnp.zeros_like(phase, dtype=bool)
+            if fail.MAXIMUM_STRESS in present_f:
+                t = fail.maximum_stress_failed_c(fp[0], fp[1], stress)
+                m = _type_mask(ft, fail.MAXIMUM_STRESS, present_f, m_count)
+                tripped = tripped | (t if m is True else (m & t))
+            phase = jnp.where(tripped, 0.0, phase)
 
-    # Failure model.
-    if present_f:
-        stress = _kirchhoff_stress_c(
-            meta, tab_f, tab_i, mid, phase, eh, f, g, mass, vol0
+        # Out-of-grid marking from the NEW positions — identical to the dense
+        # pipeline's top-of-next-substep mark (ref: particle_set.rs:132-135),
+        # applied one stage early so no extra pass over slot state is needed.
+        oob = None
+        for ax in range(dim):
+            xg = (pos[ax] - grid.origin[ax]) / h
+            base = jnp.round(xg).astype(jnp.int32) - 1
+            o = (base >= 0) & (base + 2 <= grid.res[ax] - 1)
+            oob = ~o if oob is None else (oob | ~o)
+        failed_new = failed_new | (active & oob)
+
+        # Next substep's dt bound (ref: timestep_estimator.rs, fused to skip a
+        # standalone pass over particle state).
+        d_coeff = (h * h) / 4.0
+        norm_b = d_coeff * jnp.sqrt(cmat.frob2_c(g))
+        apic_v = norm_b * 6.0 * float(np.sqrt(dim)) / h
+        vsq = sum(v * v for v in vel)
+        vnorm = jnp.sqrt(vsq)
+        vtot = vnorm + apic_v
+        vel_bound = jnp.where(vtot > 0.0, h / jnp.maximum(vtot, 1e-20), jnp.inf)
+        con_bound = _timestep_bound_c(
+            meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0, vnorm, vsq, h, dim
         )
-        ft = _select_itype(tab_i, mid, m_count, 2)
-        fp = [_select_param(tab_f, mid, m_count, TAB_F + k) for k in range(2)]
-        tripped = jnp.zeros_like(phase, dtype=bool)
-        if fail.MAXIMUM_STRESS in present_f:
-            t = fail.maximum_stress_failed_c(fp[0], fp[1], stress)
-            m = _type_mask(ft, fail.MAXIMUM_STRESS, present_f, m_count)
-            tripped = tripped | (t if m is True else (m & t))
-        phase = jnp.where(tripped, 0.0, phase)
+        con_bound = jnp.where(failed_new, jnp.inf, con_bound)
+        bound = jnp.minimum(vel_bound, con_bound)
+        # Slot rows are inf-free (layout.BIGF): inf would become NaN under the
+        # resort's selection matmuls.
+        bound = jnp.where(active, bound, jnp.inf)
+        bound = jnp.minimum(bound, L.BIGF)
 
-    # Out-of-grid marking from the NEW positions — identical to the dense
-    # pipeline's top-of-next-substep mark (ref: particle_set.rs:132-135),
-    # applied one stage early so no extra pass over slot state is needed.
-    oob = None
-    for ax in range(dim):
-        xg = (pos[ax] - grid.origin[ax]) / h
-        base = jnp.round(xg).astype(jnp.int32) - 1
-        o = (base >= 0) & (base + 2 <= grid.res[ax] - 1)
-        oob = ~o if oob is None else (oob | ~o)
-    failed_new = failed_new | (active & oob)
+        # Per-slot drift accumulation (lazy-resort trigger; conservative
+        # max-axis step displacement added to the running per-particle total).
+        step_disp = None
+        for i2 in range(dim):
+            a = jnp.abs(vel[i2]) * dt
+            step_disp = a if step_disp is None else jnp.maximum(step_disp, a)
+        cumd = row(r.cumd) + step_disp
 
-    # Next substep's dt bound (ref: timestep_estimator.rs, fused to skip a
-    # standalone pass over particle state).
-    d_coeff = (h * h) / 4.0
-    norm_b = d_coeff * jnp.sqrt(cmat.frob2_c(g))
-    apic_v = norm_b * 6.0 * float(np.sqrt(dim)) / h
-    vsq = sum(v * v for v in vel)
-    vnorm = jnp.sqrt(vsq)
-    vtot = vnorm + apic_v
-    vel_bound = jnp.where(vtot > 0.0, h / jnp.maximum(vtot, 1e-20), jnp.inf)
-    con_bound = _timestep_bound_c(
-        meta, tab_f, tab_i, mid, phase, eh, f, mass, vol0, vnorm, vsq, h, dim
-    )
-    con_bound = jnp.where(failed_new, jnp.inf, con_bound)
-    bound = jnp.minimum(vel_bound, con_bound)
-    # Slot rows are inf-free (layout.BIGF): inf would become NaN under the
-    # resort's selection matmuls.
-    bound = jnp.where(active, bound, jnp.inf)
-    bound = jnp.minimum(bound, L.BIGF)
-
-    # Per-slot drift accumulation (lazy-resort trigger; conservative
-    # max-axis step displacement added to the running per-particle total).
-    step_disp = None
-    for i2 in range(dim):
-        a = jnp.abs(vel[i2]) * dt
-        step_disp = a if step_disp is None else jnp.maximum(step_disp, a)
-    cumd = row(r.cumd) + step_disp
-
-    # --- write the new slot tensor (row order = layout.Rows) ----------------
-    rows = list(pos)
-    rows += vel
-    rows += [g[i][j] for i in range(dim) for j in range(dim)]
-    rows += [f[i][j] for i in range(dim) for j in range(dim)]
-    rows += [mass, vol0, phase, psi_pos, pdd, ph, eh, lvg, nacc_a]
-    rows += kin
-    rows += [row(r.cpf), row(r.cthr), bound,
-             failed_new.astype(jnp.float32), row(r.radius0), par1, par2,
-             row(r.m_c), row(r.g), row(r.debug), cumd]
-    if stress_cache:
-        st = _cached_stress_epilogue_c(
-            meta, tab_f, tab_i, mid, phase, eh, f, usv
-        )
-        # Upper triangle, clipped inf-free (slot-row contract, layout.BIGF).
-        rows += [
-            jnp.clip(st[i2][j2], -L.BIGF, L.BIGF)
-            for i2 in range(dim) for j2 in range(i2, dim)
-        ]
-    while len(rows) < r.nf:
-        rows.append(zero)
-    out_ref[...] = jnp.stack(rows, axis=1)
+        # --- write the new slot tensor (row order = layout.Rows) ----------------
+        rows = list(pos)
+        rows += vel
+        rows += [g[i][j] for i in range(dim) for j in range(dim)]
+        rows += [f[i][j] for i in range(dim) for j in range(dim)]
+        rows += [mass, vol0, phase, psi_pos, pdd, ph, eh, lvg, nacc_a]
+        rows += kin
+        rows += [row(r.cpf), row(r.cthr), bound,
+                 failed_new.astype(jnp.float32), row(r.radius0), par1, par2,
+                 row(r.m_c), row(r.g), row(r.debug), cumd]
+        if stress_cache:
+            st = _cached_stress_epilogue_c(
+                meta, tab_f, tab_i, mid, phase, eh, f, usv
+            )
+            # Upper triangle, clipped inf-free (slot-row contract, layout.BIGF).
+            rows += [
+                jnp.clip(st[i2][j2], -L.BIGF, L.BIGF)
+                for i2 in range(dim) for j2 in range(i2, dim)
+            ]
+        while len(rows) < r.nf:
+            rows.append(zero)
+        out_ref[...] = jnp.stack(rows, axis=1)
 
 
 def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
-              tab_f, tab_i, interpret=False, vma=None):
+              tab_f, tab_i, interpret=False, vma=None, nchunks=None):
     """Slot state + grid windows [D, d(+1), 8^d] -> new slot state.
 
     3D windows must be in z-major region-cell order (what
@@ -1437,6 +1471,8 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
     rows_win = n_win * rs if dim == 3 else n_win * (rc // rs)
     windows = windows.reshape(d_, rows_win, rc * n_win // rows_win)
 
+    if nchunks is None:
+        nchunks = jnp.asarray(d_, jnp.int32)
     kernel = functools.partial(_g2p_kernel, grid, meta, params, nr)
     return pl.pallas_call(
         kernel,
@@ -1449,6 +1485,7 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
                 lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((m, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -1457,4 +1494,5 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
         ),
         out_shape=_out_shape((d_, r.nf, c), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, windows, dt.reshape(1, 1), tab_f, tab_i)
+    )(slots, ints, windows, dt.reshape(1, 1),
+      nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i)

@@ -524,7 +524,7 @@ class FusedMpmPipeline:
         images = K.p2g_fused(
             grid, cfg, self._meta, slots_p2g, state.ints, dt,
             self._tab_f, self._tab_i, interpret=self._interpret,
-            vma=self._kernel_vma,
+            vma=self._kernel_vma, nchunks=state.structure.num_chunks,
         )
         # The fused 3D kernels emit/consume z-major region cells; the relabel
         # is folded into merge/windows' constant permutations (free).
@@ -606,7 +606,7 @@ class FusedMpmPipeline:
         new_slots = K.g2p_fused(
             grid, cfg, self._meta, self._kparams, state.slots, state.ints,
             windows, dt, self._tab_f, self._tab_i, interpret=self._interpret,
-            vma=self._kernel_vma,
+            vma=self._kernel_vma, nchunks=state.structure.num_chunks,
         )
 
         if params.enable_boundary_particle_projection and self.colliders:

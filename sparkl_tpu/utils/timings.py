@@ -137,7 +137,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
     f_a = jax.jit(
         lambda slots, ints, d: K.p2g_fused(
             grid, cfg, pipe._meta, slots, ints, d, pipe._tab_f, pipe._tab_i,
-            interpret=interp,
+            interpret=interp, nchunks=state.structure.num_chunks,
         )
     )
     t.kernel_a, images = timeit(f_a, state.slots, state.ints, dtj)
@@ -194,6 +194,7 @@ def profile_fused_substep(pipe, particles, dt=1e-3, iters=20) -> FusedSubstepTim
         lambda slots, ints, win, d: K.g2p_fused(
             grid, cfg, pipe._meta, pipe._kparams, slots, ints, win, d,
             pipe._tab_f, pipe._tab_i, interpret=interp,
+            nchunks=state.structure.num_chunks,
         )
     )
     t.kernel_b, _ = timeit(f_b, state.slots, state.ints, windows, dtj)
