@@ -582,7 +582,21 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
 # ---------------------------------------------------------------------------
 
 
-def _mass_p2g_kernel(grid, nr, slots_ref, ints_ref, out_ref):
+def _mass_p2g_kernel(grid, nr, slots_ref, ints_ref, nc_ref, out_ref):
+    # Live-program gate (see _p2g_kernel): dead capacity chunks would emit
+    # all-zero images anyway (contrib masks to 0) — skip the weight math.
+    live = pl.program_id(0) * nr < nc_ref[0, 0]
+
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(live)
+    def _live():
+        _mass_p2g_live(grid, nr, slots_ref, ints_ref, out_ref)
+
+
+def _mass_p2g_live(grid, nr, slots_ref, ints_ref, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
     rs = region_side()
@@ -611,7 +625,20 @@ def _mass_p2g_kernel(grid, nr, slots_ref, ints_ref, out_ref):
             out_ref[i] = _dot_nt(bz, w_xy)
 
 
-def _mass_g2p_kernel(grid, nr, slots_ref, ints_ref, win_ref, out_ref):
+def _mass_g2p_kernel(grid, nr, slots_ref, ints_ref, win_ref, nc_ref, out_ref):
+    # Live-program gate (see _p2g_kernel); dead rows were zeros before too.
+    live = pl.program_id(0) * nr < nc_ref[0, 0]
+
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(live)
+    def _live():
+        _mass_g2p_live(grid, nr, slots_ref, ints_ref, win_ref, out_ref)
+
+
+def _mass_g2p_live(grid, nr, slots_ref, ints_ref, win_ref, out_ref):
     dim = grid.dim
     r = L.Rows(dim)
     rs = region_side()
@@ -635,7 +662,8 @@ def _mass_g2p_kernel(grid, nr, slots_ref, ints_ref, win_ref, out_ref):
         out_ref[i] = contrib[i : i + 1, :] * out
 
 
-def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
+def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None,
+                   nchunks=None):
     """Mass-only window images [D, 1, 8^d] (3D cell order = z-major,
     transfer.ZMAJOR_ORDER_3D — pass cell_order to merge)."""
     r = L.Rows(grid.dim)
@@ -644,6 +672,8 @@ def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     nr = _r_of(cfg, interpret)
+    if nchunks is None:
+        nchunks = jnp.asarray(d_, jnp.int32)
     kernel = functools.partial(_mass_p2g_kernel, grid, nr)
     out = pl.pallas_call(
         kernel,
@@ -651,17 +681,19 @@ def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None):
         in_specs=[
             pl.BlockSpec((nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nr, L.NI, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (nr, rs, rc // rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=_out_shape((d_, rs, rc // rs), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints)
+    )(slots, ints, nchunks.astype(jnp.int32).reshape(1, 1))
     return out.reshape(d_, 1, rc)
 
 
-def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
+def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None,
+                   nchunks=None):
     """Mass gather per slot [D, 1, C] from mass windows [D, 1, 8^d]
     (3D windows must be z-major — gather with cell_order=ZMAJOR_ORDER_3D)."""
     r = L.Rows(grid.dim)
@@ -670,6 +702,8 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
     d_ = cfg.max_chunks
     c = cfg.chunk_size
     nr = _r_of(cfg, interpret)
+    if nchunks is None:
+        nchunks = jnp.asarray(d_, jnp.int32)
     kernel = functools.partial(_mass_g2p_kernel, grid, nr)
     return pl.pallas_call(
         kernel,
@@ -680,11 +714,13 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None):
             pl.BlockSpec(
                 (nr, rs, rc // rs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, c), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, windows.reshape(d_, rs, rc // rs))
+    )(slots, ints, windows.reshape(d_, rs, rc // rs),
+      nchunks.astype(jnp.int32).reshape(1, 1))
 
 
 # ---------------------------------------------------------------------------

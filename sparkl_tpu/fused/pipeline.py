@@ -236,7 +236,7 @@ class FusedMpmPipeline:
         cell_order = T.ZMAJOR_ORDER_3D if d == 3 else None
         images = K.mass_p2g_fused(
             grid, cfg, state.slots, state.ints, interpret=self._interpret,
-            vma=self._kernel_vma,
+            vma=self._kernel_vma, nchunks=state.structure.num_chunks,
         )
         node = T.merge_images_to_grid(
             grid, cfg, state.structure, images, gather=True,
@@ -254,6 +254,7 @@ class FusedMpmPipeline:
         out = K.mass_g2p_fused(
             grid, cfg, state.slots, state.ints, windows,
             interpret=self._interpret, vma=self._kernel_vma,
+            nchunks=state.structure.num_chunks,
         )
         new_mass = out[:, 0, :]
 
