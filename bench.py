@@ -145,6 +145,16 @@ def main():
                 # median qualifies how much of `value` is best-case tail.
                 "median": median,
                 "reps": reps,
+                # Measurement protocol (advisor r4): state-resident spans
+                # time consecutive spans of a CONTINUING simulation (pack
+                # paid once, outside the timed region); rounds 1-3 used
+                # identical-span best-of with per-span pack/unpack. Numbers
+                # are comparable only within one mode.
+                "mode": (
+                    "state_resident_spans"
+                    if hasattr(pipe, "pack_state")
+                    else "per_span_pack"
+                ),
             }
         )
     )

@@ -33,13 +33,21 @@ case "$TIER" in
     python -m pytest tests/ -q
     ;;
   gate)
+    # The last four selections give the gate always-on coverage of the
+    # riskiest paths (advisor r4 / VERDICT r4 item 7): fused-vs-dense
+    # equivalence, animated poses without re-jit, and a 2-device fused
+    # domain substep (collectives + control flow — the class of bug the
+    # driver's dryrun scored in round 4).
     python -m pytest -q \
       tests/test_math.py tests/test_models.py \
       tests/test_plasticity_properties.py tests/test_oracles.py \
       tests/test_particles.py tests/test_colliders.py \
       tests/test_dense_solver.py tests/test_io_and_cli.py \
       tests/test_sparse.py tests/test_scenes.py tests/test_damage.py \
-      "tests/test_regression.py::test_golden_dense[elasticity2]"
+      "tests/test_regression.py::test_golden_dense[elasticity2]" \
+      "tests/test_fused.py::test_fused_matches_dense_one_frame" \
+      tests/test_moving_colliders.py::test_animated_span_does_not_rejit \
+      tests/test_domain_fused.py::test_domain_fused_gate_two_devices
     ;;
   *)
     echo "usage: ci.sh [--fast|--full|--nightly]" >&2; exit 2
@@ -61,9 +69,11 @@ print("bench smoke ok:", line)
 EOF
 rm -f "$BENCH_OUT"
 
-# Driver entry contract on the virtual 8-device CPU mesh (gate runs the
-# single-chip entry only — dryrun_multichip compiles for ~8-10 min on one
-# core and lives in --full/--nightly).
+# Driver entry contract on the virtual 8-device CPU mesh. The gate runs the
+# single-chip entry plus the 2-device domain pytest above; the full
+# three-strategy dryrun_multichip lives in --full/--nightly (round 5: ~5 min
+# total — per-strategy subprocesses, single-substep params, 48-chunk tables,
+# raised CPU rendezvous timeouts; was ~22 min and rendezvous-flaky).
 if [[ "$TIER" == "--full" || "$TIER" == "--nightly" ]]; then
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
 import jax

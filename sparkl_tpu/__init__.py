@@ -76,9 +76,23 @@ def auto_pipeline(bundle, prefer="auto", **kw):
         # pose schedule at construction; the dense/sparse paths take poses
         # per step_with_stats call instead.
         fused_kw["collider_pose_fn"] = pose_fn
+    def _warn_pose_drop(path):
+        if pose_fn is not None:
+            import warnings
+
+            warnings.warn(
+                f"auto_pipeline: scene has collider_pose_fn but the {path} "
+                "path takes poses per step_with_stats(poses=...) call — the "
+                "schedule is NOT applied automatically; pass poses yourself "
+                "or the colliders stay at their static pose",
+                stacklevel=3,
+            )
+
     if prefer == "dense":
+        _warn_pose_drop("dense")
         return MpmPipeline(*args)
     if prefer == "sparse":
+        _warn_pose_drop("sparse")
         return SparseMpmPipeline(*args, **kw)
     ok, _why = FusedMpmPipeline.supports(bundle.models, bundle.params)
     if prefer == "fused":
@@ -88,4 +102,5 @@ def auto_pipeline(bundle, prefer="auto", **kw):
 
     if ok:
         return FusedMpmPipeline(*args, **fused_kw)
+    _warn_pose_drop("sparse (custom-model fallback)")
     return SparseMpmPipeline(*args, **kw)

@@ -80,6 +80,25 @@ def pack_model_tables(models):
     return tab_f.astype(jnp.float32), tab_i.astype(jnp.int32)
 
 
+def _vary(vma, *arrays):
+    """Under shard_map with check_vma, all pallas_call operands must share
+    mesh-axis variance (interpret mode evaluates the kernel jaxpr, where
+    mixed replicated/varying refs trip dynamic_slice's vma check). pcast the
+    replicated ones (constant tables, traced scalars) up to `vma` — a no-op
+    at runtime."""
+    if not vma:
+        return arrays
+    want = frozenset(vma)
+    out = []
+    for x in arrays:
+        have = frozenset(getattr(jax.typeof(x), "vma", frozenset()))
+        missing = tuple(sorted(want - have))
+        out.append(
+            jax.lax.pcast(x, missing, to="varying") if missing else x
+        )
+    return tuple(out)
+
+
 def _out_shape(shape, dtype, vma):
     if vma:
         return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
@@ -571,8 +590,8 @@ def p2g_fused(grid: GridParams, cfg, meta, slots, ints, dt, tab_f, tab_i,
             (d_, rows_out, rc * nf_out // rows_out), jnp.float32, vma
         ),
         interpret=interpret,
-    )(slots, ints, dt.reshape(1, 1),
-      nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i)
+    )(*_vary(vma, slots, ints, dt.reshape(1, 1),
+             nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i))
     return out.reshape(d_, nf_out, rc)
 
 
@@ -688,7 +707,7 @@ def mass_p2g_fused(grid, cfg, slots, ints, interpret=False, vma=None,
         ),
         out_shape=_out_shape((d_, rs, rc // rs), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, nchunks.astype(jnp.int32).reshape(1, 1))
+    )(*_vary(vma, slots, ints, nchunks.astype(jnp.int32).reshape(1, 1)))
     return out.reshape(d_, 1, rc)
 
 
@@ -719,8 +738,8 @@ def mass_g2p_fused(grid, cfg, slots, ints, windows, interpret=False, vma=None,
         out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, c), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, windows.reshape(d_, rs, rc // rs),
-      nchunks.astype(jnp.int32).reshape(1, 1))
+    )(*_vary(vma, slots, ints, windows.reshape(d_, rs, rc // rs),
+             nchunks.astype(jnp.int32).reshape(1, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -767,7 +786,7 @@ def src_rows_from_order(cfg, order2, shifts, interpret=False, vma=None):
         out_specs=pl.BlockSpec((nr, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, 1, c), jnp.int32, vma),
         interpret=interpret,
-    )(order2, shifts.reshape(d_, 1))
+    )(*_vary(vma, order2, shifts.reshape(d_, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -846,7 +865,7 @@ def eigen_pool_fused(grid: GridParams, cfg, e, g, interpret=False, vma=None):
         out_specs=pl.BlockSpec((nr, EIG_ROWS, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=_out_shape((d_, EIG_ROWS, c), jnp.float32, vma),
         interpret=interpret,
-    )(e, g)
+    )(*_vary(vma, e, g))
 
 
 # ---------------------------------------------------------------------------
@@ -1029,8 +1048,8 @@ def permute_chunks_dma(cfg, slots, ints, uniq, target, origin, r_cumd,
             _out_shape((d_, ni, c), jnp.int32, vma),
         ),
         interpret=interpret,
-    )(uniq.reshape(d_, 1, k_src), origin.reshape(d_, 1, dim),
-      target.reshape(d_, 1, c), slots, ints)
+    )(*_vary(vma, uniq.reshape(d_, 1, k_src), origin.reshape(d_, 1, dim),
+             target.reshape(d_, 1, c), slots, ints))
 
 
 # Owner blocks per DMA-merge program: all NB x <= KMAX fetches are started
@@ -1126,7 +1145,7 @@ def merge_blocks_dma(cfg, rows, first, nchunks, kmax, interpret=False,
         ],
         out_shape=_out_shape((mb_pad, ncorners, w), jnp.float32, vma),
         interpret=interpret,
-    )(fn, rows)
+    )(*_vary(vma, fn, rows))
     if mb_pad != mb:
         out = out[:mb]
     return out[:, :, :w_in] if w_in != w else out
@@ -1157,7 +1176,7 @@ def permute_chunks(cfg, gathered, gathered_i, target, interpret=False, vma=None)
             _out_shape((d_, ni, c), jnp.int32, vma),
         ),
         interpret=interpret,
-    )(gathered, gathered_i, target.reshape(d_, 1, c))
+    )(*_vary(vma, gathered, gathered_i, target.reshape(d_, 1, c)))
 
 
 # ---------------------------------------------------------------------------
@@ -1530,5 +1549,5 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
         ),
         out_shape=_out_shape((d_, r.nf, c), jnp.float32, vma),
         interpret=interpret,
-    )(slots, ints, windows, dt.reshape(1, 1),
-      nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i)
+    )(*_vary(vma, slots, ints, windows, dt.reshape(1, 1),
+             nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i))

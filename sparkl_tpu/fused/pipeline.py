@@ -154,6 +154,8 @@ class FusedMpmPipeline:
             )
         else:
             self._dynamic_ids = frozenset()
+        self._sim_time = 0.0          # running clock for collider_pose_fn
+        self._pvary = None            # mark a scalar as device-varying (shard_map)
         self._halo_fn = None          # (node_table, structure) -> (node, ovf)
         self._dt_reduce = None        # dt -> dt (lax.pmin)
         self._need_sync = None        # resort trigger bool -> global bool
@@ -633,21 +635,33 @@ class FusedMpmPipeline:
         # under one cell; rebuild + permute only when needed.
         need_local = state.cum_disp >= DRIFT_FRACTION * grid.cell_width
 
+        vary = (
+            (lambda t: jax.tree_util.tree_map(self._pvary, t))
+            if self._pvary is not None
+            else (lambda t: t)
+        )
+
         def local_resort(s):
             s2, ov = L.resort(
                 grid, cfg, s, grid.dim,
                 interpret=self._interpret, vma=self._kernel_vma,
                 cache_fn=self._grid_cache,
             )
-            return s2, ov.astype(jnp.int32) * OVERFLOW_TABLES
+            return vary(s2), ov.astype(jnp.int32) * OVERFLOW_TABLES
 
         def no_resort(s):
-            return s, jnp.asarray(0, jnp.int32)
+            zero = jnp.asarray(0, jnp.int32)
+            if self._pvary is not None:
+                # cond branches must agree on mesh-axis variance: the resort
+                # branch's overflow flag is device-varying (check_vma).
+                zero = self._pvary(zero)
+            return s, zero
 
         if self._slot_migrate_fn is None:
             state, ov = jax.lax.cond(need_local, local_resort, no_resort, state)
             overflow = overflow | ov
             nresort = need_local.astype(jnp.int32)
+            dt_pre = None
         else:
             # Domain decomposition: resorts are PER-SHARD lazy (chunk keys
             # are global, so shards may rebuild at different substeps — the
@@ -665,9 +679,29 @@ class FusedMpmPipeline:
                     interpret=self._interpret, vma=self._kernel_vma,
                     cache_fn=self._grid_cache,
                 )
-                return s2, (mov | ov).astype(jnp.int32) * OVERFLOW_TABLES
+                return vary(s2), (mov | ov).astype(jnp.int32) * OVERFLOW_TABLES
 
-            need_mig = self._need_sync(self._emigrants_fn(state))
+            # ONE collective decides both the global dt and the migration
+            # epoch: the local dt bound rides the same pmin as the emigrant
+            # bit (encoded as +-1 in lane 1). Valid because neither resort
+            # nor migration changes the global multiset of occupied rows'
+            # carried dt bounds — only the fluids volume pass rewrites them,
+            # so that path keeps the post-pass reduction below. (VERDICT r4
+            # item 1: one fewer rendezvous per substep.)
+            dt_pre = None
+            if not params.force_fluids_volume_recomputation:
+                occ0 = self._occupied(state)
+                local_dt = jnp.min(
+                    jnp.where(occ0, state.slots[:, r.dtb, :], jnp.inf)
+                )
+                emig = self._emigrants_fn(state)
+                packed = self._dt_reduce(
+                    jnp.stack([local_dt, jnp.where(emig, -1.0, 1.0)])
+                )
+                dt_pre = packed[0]
+                need_mig = packed[1] < 0.0
+            else:
+                need_mig = self._need_sync(self._emigrants_fn(state))
             state, ov_m = jax.lax.cond(
                 need_mig, migrate_resort, no_resort, state
             )
@@ -688,12 +722,16 @@ class FusedMpmPipeline:
             state, fv_ov = self._recompute_fluids(state)
             overflow = overflow | fv_ov.astype(jnp.int32) * OVERFLOW_TABLES
 
-        occupied = self._occupied(state)
-        dtb = jnp.where(occupied, state.slots[:, r.dtb, :], jnp.inf)
         max_dt = jnp.minimum(remaining, params.max_substep_dt)
-        dt = jnp.minimum(jnp.min(dtb), max_dt)
-        if self._dt_reduce is not None:
-            dt = self._dt_reduce(dt)
+        if dt_pre is not None:
+            # Already pmin-reduced (folded with the emigrant bit above).
+            dt = jnp.minimum(dt_pre, max_dt)
+        else:
+            occupied = self._occupied(state)
+            dtb = jnp.where(occupied, state.slots[:, r.dtb, :], jnp.inf)
+            dt = jnp.minimum(jnp.min(dtb), max_dt)
+            if self._dt_reduce is not None:
+                dt = self._dt_reduce(dt)
         dt = jnp.where((dt < min_dt) & (remaining > min_dt), min_dt, dt)
 
         if params.damage_model == DamageModel.EIGENEROSION:
@@ -709,6 +747,10 @@ class FusedMpmPipeline:
 
     def _step_impl(self, state, poses=None):
         params = self.params
+        if self._pvary is not None:
+            # Loop carries must have uniform mesh-axis variance; freshly
+            # packed state carries replicated scalars (cum_disp etc.).
+            state = jax.tree_util.tree_map(self._pvary, state)
 
         def cond(carry):
             remaining, niter = carry[1], carry[2]
@@ -721,18 +763,23 @@ class FusedMpmPipeline:
             )
             return (state, remaining, niter + 1, overflow, peak, nres + nr1)
 
+        zero = jnp.asarray(0, jnp.int32)
+        zvar = zero if self._pvary is None else self._pvary(zero)
         carry = (
             state,
             jnp.asarray(params.dt, jnp.float32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            zero,   # niter: replicated (dt is pmin-global)
+            zvar,   # overflow: per-shard flag bits
+            zvar,   # peak chunks: per-shard
+            zvar,   # resorts taken: per-shard (lazy resorts desynchronize)
         )
         state, _, niter, overflow, peak, nres = jax.lax.while_loop(cond, body, carry)
         return state, niter, overflow, peak, nres
 
     def _frames_impl(self, state, num_frames, t0=0.0):
+        if self._pvary is not None:
+            state = jax.tree_util.tree_map(self._pvary, state)
+
         def body(carry, frame_idx):
             state, total, ov, peak, nres = carry
             poses = None
@@ -751,10 +798,11 @@ class FusedMpmPipeline:
                 nres + nr1,
             ), None
 
+        zero = jnp.asarray(0, jnp.int32)
+        zvar = zero if self._pvary is None else self._pvary(zero)
         (state, total, ov, peak, nres), _ = jax.lax.scan(
             body,
-            (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+            (state, zero, zvar, zvar, zvar),
             jnp.arange(num_frames, dtype=jnp.int32),
             length=num_frames,
         )
@@ -832,13 +880,17 @@ class FusedMpmPipeline:
     # state device-resident the same way and reads back only what rendering
     # needs per frame (testbed_plugin.rs:533-588 pinned-staging readback).
 
-    def pack_state(self, particles, sim_time: float = 0.0):
+    def pack_state(self, particles, sim_time: float | None = None):
         """Particles -> resident SlotState (capacity-checked, regrown to
         fit). Advance it with run_frames_state; read back with unpack_state.
-        `sim_time` seeds the clock collider_pose_fn is evaluated against."""
+        `sim_time` seeds the clock collider_pose_fn is evaluated against;
+        None (default) KEEPS the pipeline's running clock, so repeated
+        run_frames / step_with_stats calls on animated scenes continue the
+        animation instead of silently replaying t=0 poses (advisor r4)."""
         self._ensure_cfg(particles)
         self._state_capacity = particles.capacity
-        self._sim_time = float(sim_time)
+        if sim_time is not None:
+            self._sim_time = float(sim_time)
         for _attempt in range(6):
             state = self._jit_pack(particles)
             s = state.structure
