@@ -86,8 +86,8 @@ def main():
     def stage_m(s, images):
         return T.merge_images_to_grid(
             grid, cfg, s.structure, images, cell_order=cell_order,
-            gather=True, dma=True,
-        )
+            gather=True, dma=True, overflow_out=True,
+        )[0]
 
     def stage_g(s, node):
         nodef = node.reshape(cfg.max_grid_blocks + 1, nf, cpb)

@@ -1548,6 +1548,12 @@ def g2p_fused(grid: GridParams, cfg, meta, params, slots, ints, windows, dt,
             (nr, r.nf, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=_out_shape((d_, r.nf, c), jnp.float32, vma),
+        # The new slot tensor overwrites the old IN PLACE (each program
+        # reads only its own [nr, NF, C] block before writing it): inside
+        # the substep loop this removes XLA's back-edge carry copy of the
+        # full [D, NF, C] tensor (measured 1.1 ms/substep at sand3@1M,
+        # scripts/diag_trace.py round 5) and a whole HBM allocation.
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(*_vary(vma, slots, ints, windows, dt.reshape(1, 1),
              nchunks.astype(jnp.int32).reshape(1, 1), tab_f, tab_i))

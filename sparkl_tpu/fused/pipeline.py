@@ -41,7 +41,11 @@ from sparkl_tpu.solver import dense
 from sparkl_tpu.solver.pipeline import MpmHooks
 from sparkl_tpu.sparse import blocks as B
 from sparkl_tpu.sparse import transfer as T
-from sparkl_tpu.sparse.pipeline import OVERFLOW_TABLES, OVERFLOW_EIGEN
+from sparkl_tpu.sparse.pipeline import (
+    OVERFLOW_TABLES,
+    OVERFLOW_EIGEN,
+    OVERFLOW_MERGE,
+)
 from sparkl_tpu.fused import kernels as K
 from sparkl_tpu.fused import layout as L
 from sparkl_tpu.fused import structure as S
@@ -133,6 +137,11 @@ class FusedMpmPipeline:
         # XLA KMAX-gather under interpret (identical values, far cheaper to
         # interpret). Tests may force True to cover DMA+vma on the CPU mesh.
         self._merge_dma = not self._interpret
+        # Sticky scatter fallback for the merge: flipped on (host-side, with
+        # a span retry) the first time any block exceeds MERGE_KMAX chunks —
+        # the common case then runs the gather form with NO per-substep
+        # density cond (see transfer.merge_images_to_grid overflow_out).
+        self._merge_force_scatter = False
         # Runtime collider poses: `collider_pose_fn(t) -> tuple` aligned with
         # the collider set, entries None (static, baked pose) or
         # (translation [d], rotation [d, d]) as functions of simulation time
@@ -240,10 +249,11 @@ class FusedMpmPipeline:
             grid, cfg, state.slots, state.ints, interpret=self._interpret,
             vma=self._kernel_vma, nchunks=state.structure.num_chunks,
         )
-        node = T.merge_images_to_grid(
+        node, merge_ov = T.merge_images_to_grid(
             grid, cfg, state.structure, images, gather=True,
             cell_order=cell_order, dma=self._merge_dma,
             interpret=self._interpret, vma=self._kernel_vma,
+            overflow_out=True, force_scatter=self._merge_force_scatter,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
@@ -276,7 +286,11 @@ class FusedMpmPipeline:
         # The EOS dt bound depends on F00 — refresh the carried bound row
         # (the sparse pipeline recomputes bounds after the volume pass too).
         slots = self._refresh_dtb_rows(state.replace(slots=slots))
-        return state.replace(slots=slots), halo_ov
+        flags = (
+            halo_ov.astype(jnp.int32) * OVERFLOW_TABLES
+            | merge_ov.astype(jnp.int32) * OVERFLOW_MERGE
+        )
+        return state.replace(slots=slots), flags
 
     def _refresh_dtb_rows(self, state):
         """Recompute the dt-bound row from current slot rows in XLA (only
@@ -532,10 +546,11 @@ class FusedMpmPipeline:
         # The fused 3D kernels emit/consume z-major region cells; the relabel
         # is folded into merge/windows' constant permutations (free).
         cell_order = T.ZMAJOR_ORDER_3D if dim == 3 else None
-        node = T.merge_images_to_grid(
+        node, merge_ov = T.merge_images_to_grid(
             grid, cfg, state.structure, images, cell_order=cell_order,
             gather=True, dma=self._merge_dma,
             interpret=self._interpret, vma=self._kernel_vma,
+            overflow_out=True, force_scatter=self._merge_force_scatter,
         )
         halo_ov = jnp.asarray(False)
         if self._halo_fn is not None:
@@ -621,10 +636,14 @@ class FusedMpmPipeline:
         # trigger scalar is its maximum (max of per-particle sums — much
         # tighter than summing global per-substep maxima when only a few
         # particles move fast, e.g. surface flow on settled sand).
+        flags = (
+            halo_ov.astype(jnp.int32) * OVERFLOW_TABLES
+            | merge_ov.astype(jnp.int32) * OVERFLOW_MERGE
+        )
         return state.replace(
             slots=new_slots,
             cum_disp=jnp.max(new_slots[:, r.cumd, :]),
-        ), halo_ov
+        ), flags
 
     def _step_body(self, state, remaining, overflow, peak, poses=None):
         """One substep incl. the lazy resort; returns (state, dt, ...)."""
@@ -719,8 +738,8 @@ class FusedMpmPipeline:
         # positions == the dense pipeline's top-of-next-substep mark).
 
         if params.force_fluids_volume_recomputation:
-            state, fv_ov = self._recompute_fluids(state)
-            overflow = overflow | fv_ov.astype(jnp.int32) * OVERFLOW_TABLES
+            state, fv_flags = self._recompute_fluids(state)
+            overflow = overflow | fv_flags
 
         max_dt = jnp.minimum(remaining, params.max_substep_dt)
         if dt_pre is not None:
@@ -740,8 +759,8 @@ class FusedMpmPipeline:
         elif params.damage_model == DamageModel.CD_MPM:
             state = self._update_phase_field_slots(state, dt)
 
-        state, sub_ov = self._substep(state, dt, poses)
-        overflow = overflow | sub_ov.astype(jnp.int32) * OVERFLOW_TABLES
+        state, sub_flags = self._substep(state, dt, poses)
+        overflow = overflow | sub_flags
         remaining = jnp.where(params.stop_after_one_substep, 0.0, remaining - dt)
         return state, remaining, overflow, peak, nresort
 
@@ -957,6 +976,13 @@ class FusedMpmPipeline:
                 # chunks than _eigen_mcb. Double it and recompile (never
                 # silently mis-pool).
                 self._eigen_mcb *= 2
+                self._jit = None
+                self._ensure_cfg(None)
+            if flags & OVERFLOW_MERGE:
+                # A block compressed past MERGE_KMAX chunks: pin the scatter
+                # merge (density is physics, not capacity — regrowing tables
+                # would not help) and retry the span.
+                self._merge_force_scatter = True
                 self._jit = None
                 self._ensure_cfg(None)
             if flags & OVERFLOW_TABLES:

@@ -45,6 +45,7 @@ from sparkl_tpu.sparse.pipeline import (
     SparseMpmPipeline,
     OVERFLOW_TABLES,
     OVERFLOW_EIGEN,
+    OVERFLOW_MERGE,
 )
 
 
@@ -902,6 +903,11 @@ class DomainFusedPipeline(_DomainMixin, FusedMpmPipeline):
                 self.last_resorts = int(nres_arr.max())
                 self._sim_time = t0 + num_frames * float(self.params.dt)
                 return p, int(total)
+            if flags & OVERFLOW_MERGE:
+                # A block compressed past MERGE_KMAX chunks: pin the scatter
+                # merge (density is physics, not capacity) and retry.
+                self._merge_force_scatter = True
+                self._jit_frames = {}
             if flags & OVERFLOW_EIGEN:
                 self._eigen_mcb *= 2
                 self._jit_frames = {}

@@ -33,6 +33,7 @@ from sparkl_tpu.sparse import transfer as T
 # host regrow-retry loop grows the capacity that actually tripped.
 OVERFLOW_TABLES = 1  # block/chunk/grid tables or halo/migration buffers
 OVERFLOW_EIGEN = 2  # eigenerosion per-cell neighbor buckets
+OVERFLOW_MERGE = 4  # a block compressed past MERGE_KMAX chunks (fused merge)
 
 
 class SparseMpmPipeline:

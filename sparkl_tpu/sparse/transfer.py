@@ -300,6 +300,7 @@ def _merge_gather(cfg, structure, rows, nf, cpb, ncorners, first, nchunks,
 def merge_images_to_grid(
     grid: GridParams, cfg: BlockConfig, structure: BlockStructure, images,
     cell_order=None, gather=False, dma=False, interpret=False, vma=None,
+    overflow_out=False, force_scatter=False,
 ):
     """Merge chunk window images into the block grid.
 
@@ -327,14 +328,26 @@ def merge_images_to_grid(
     corner_of_region, cell_of_region = region_maps(dim)
     ncorners = 2**dim
 
-    # Reorder region cells into (corner, cell) order.
+    # Reorder region cells into (corner, cell) order. ONE static flat-lane
+    # take instead of perm-gather + reshape + moveaxis: the consumer is an
+    # opaque pallas call (or scatter), so XLA cannot fuse a chain of
+    # reorders into it — each materialized ~100 MB at sand3@1M
+    # (scripts/diag_trace.py round 5: ~1 ms/substep of transpose copies on
+    # this path alone).
     perm = np.argsort(corner_of_region * cpb + cell_of_region)
     if cell_order is not None:
         perm = cell_order[perm]
-    imgs = images[:, :, perm].reshape(cfg.max_chunks, nf, ncorners, cpb)
-    rows = jnp.moveaxis(imgs, 1, 2)  # [D, corners, F, cpb] -> rows per corner
+    rc = images.shape[2]
+    k_i, f_i, c_i = np.meshgrid(
+        np.arange(ncorners), np.arange(nf), np.arange(cpb), indexing="ij"
+    )
+    comb = (f_i * rc + perm[k_i * cpb + c_i]).reshape(-1)
+    rows = images.reshape(cfg.max_chunks, nf * rc)[:, comb].reshape(
+        cfg.max_chunks, ncorners, nf, cpb
+    )  # [D, corners, F, cpb] -> rows per corner
 
-    if gather:
+    ovf = jnp.asarray(False)
+    if gather and not force_scatter:
         first = structure.block_first_chunk
         nchunks = getattr(structure, "block_num_chunks", None)
         if nchunks is None:
@@ -345,20 +358,36 @@ def merge_images_to_grid(
                 jnp.concatenate([first[1:], structure.num_chunks[None]])
                 - first
             )
-        out = jax.lax.cond(
-            jnp.max(nchunks) <= MERGE_KMAX,
-            lambda r: _merge_gather(
-                cfg, structure, r, nf, cpb, ncorners, first, nchunks,
+        if overflow_out:
+            # No per-substep lax.cond (the cond wrapper forces a materialized
+            # output + blocks fusion — ~0.4 ms/substep at sand3@1M,
+            # scripts/diag_trace.py round 5): ALWAYS take the gather form and
+            # FLAG blocks denser than MERGE_KMAX instead. The flagged span's
+            # results are discarded and the pipeline retries with the scatter
+            # fallback pinned (the same discard-and-retry contract as the
+            # capacity overflows, ref: cuda_sparse_grid.rs:161-253).
+            ovf = jnp.max(nchunks) > MERGE_KMAX
+            out = _merge_gather(
+                cfg, structure, rows, nf, cpb, ncorners, first, nchunks,
                 dma=dma, interpret=interpret, vma=vma,
-            ),
-            lambda r: _merge_scatter(cfg, structure, r, nf, cpb, ncorners),
-            rows,
-        )
+            )
+        else:
+            out = jax.lax.cond(
+                jnp.max(nchunks) <= MERGE_KMAX,
+                lambda r: _merge_gather(
+                    cfg, structure, r, nf, cpb, ncorners, first, nchunks,
+                    dma=dma, interpret=interpret, vma=vma,
+                ),
+                lambda r: _merge_scatter(cfg, structure, r, nf, cpb, ncorners),
+                rows,
+            )
     else:
         out = _merge_scatter(cfg, structure, rows, nf, cpb, ncorners)
     # Trash block (index MAX_GRID_BLOCKS) collects out-of-table writes; zero it.
     out = out.at[cfg.max_grid_blocks].set(0.0)
-    return out  # [MGB+1, F*cpb] with F-major per block
+    if overflow_out:
+        return out, ovf  # [MGB+1, F*cpb] with F-major per block
+    return out
 
 
 def gather_grid_windows(
@@ -378,12 +407,18 @@ def gather_grid_windows(
 
     dest_blocks = structure.nbr_index[structure.chunk_block]  # [D, 2^d]
     rows = node_fields[dest_blocks.reshape(-1)]  # [D*2^d, F*cpb]
-    imgs = rows.reshape(cfg.max_chunks, ncorners, nf, cpb)
-    imgs = jnp.moveaxis(imgs, 1, 2).reshape(cfg.max_chunks, nf, ncorners * cpb)
+    # ONE static flat-lane take instead of reshape + moveaxis + inv_perm
+    # (see merge_images_to_grid — the same opaque-consumer materialization
+    # argument, on the window path).
     inv_perm = np.argsort(np.argsort(corner_of_region * cpb + cell_of_region))
     if cell_order is not None:
         inv_perm = inv_perm[np.argsort(cell_order)]
-    return imgs[:, :, inv_perm]  # [D, F, 8^d]
+    rc = ncorners * cpb
+    f_i, q_i = np.meshgrid(np.arange(nf), np.arange(rc), indexing="ij")
+    qp = inv_perm[q_i]
+    comb = ((qp // cpb) * nf * cpb + f_i * cpb + qp % cpb).reshape(-1)
+    flat = rows.reshape(cfg.max_chunks, ncorners * nf * cpb)
+    return flat[:, comb].reshape(cfg.max_chunks, nf, rc)  # [D, F, 8^d]
 
 
 # ---------------------------------------------------------------------------
