@@ -58,6 +58,9 @@ def main():
     xs = pos[act, 0]
     qs = np.quantile(xs, np.linspace(0, 1, s_chips + 1))
     cfgs = []
+    raw_chunks = []  # LIVE chunk counts (no slack/quantum — the skew input)
+    bspace = FS.block_space_ob2(grid)
+    origin = np.asarray(grid.origin, np.float64)
     for s in range(s_chips):
         # Half-open slabs: a particle exactly on an interior quantile edge
         # belongs to one shard only (lattice x-positions often coincide
@@ -68,6 +71,13 @@ def main():
         if m.sum() == 0:
             continue
         cfgs.append(FS.calibrate_ob2(grid, pos, m))
+        cc = np.round((pos[m] - origin) / grid.cell_width).astype(np.int64)
+        bc = (cc - 2) // 4 + 1
+        key = bc[:, 0]
+        for ax in range(1, dim):
+            key = key * bspace[ax] + bc[:, ax]
+        _, counts = np.unique(key, return_counts=True)
+        raw_chunks.append(int(np.sum(-(-counts // 128))))
     max_grid_blocks = max(c.max_grid_blocks for c in cfgs)
     max_chunks = max(c.max_chunks for c in cfgs)
     c_sz = cfgs[0].chunk_size
@@ -77,11 +87,16 @@ def main():
     f_ch = 1 + dim  # node channels (no psi for sand)
     max_halo_blocks = 256
 
-    # Halo merge per substep (per mesh axis, both directions, keys + rows).
+    # Halo merge per substep (per mesh axis, both directions; round 5 packs
+    # the block keys bit-cast into lane 0 of the row payload, so each
+    # direction is ONE ppermute).
     halo_msg = max_halo_blocks * (4 + f_ch * cpb * 4)  # bytes per message
     halo_bytes = 2 * 2 * halo_msg  # 2 directions x (send+recv counted once
     # per link) -> 2 messages traverse each boundary link per substep
-    n_coll = 4 + 2  # 4 halo ppermutes + pmin dt + pmax resort flag
+    # Round-5 collective count: 2 packed halo ppermutes + ONE pmin carrying
+    # both the dt and the migration-epoch bit (the round-4 separate pmax is
+    # folded in, fused/pipeline._step_body).
+    n_coll = 2 + 1
     t_comm = halo_bytes / BW_ICI + n_coll * L_COLL
 
     # Migration-epoch slot migration. Since round 4, ordinary drift resorts
@@ -92,6 +107,16 @@ def main():
     slot_row_bytes = (rows.nf * 4 + L.NI * 4) * c_sz
     mig_chunks = max(64, max_chunks // 16)  # boundary layer of chunks
     t_mig = mig_chunks * slot_row_bytes / BW_ICI + 2 * L_COLL
+
+    # Shard skew (VERDICT r4 item 8): every rendezvous runs at the SLOWEST
+    # shard's pace. Two sources, both modeled from the real per-shard split:
+    #   (a) live-chunk imbalance — the live gate makes a shard's kernel time
+    #       proportional to ITS live chunks; quantile slabs equalize
+    #       particles but not chunk counts (block fragmentation differs).
+    #   (b) desynchronized shard-local resorts — a resorting shard arrives
+    #       late at the next collective; neighbors stall for the resort.
+    live_chunks = np.asarray(raw_chunks, np.float64)
+    skew_frac = float(live_chunks.max() / live_chunks.mean() - 1.0)
 
     print(f"scene={scene}  N={n}  S={s_chips} (1D slab)")
     print(f"  per-shard cfg: chunks={max_chunks} C={c_sz} "
@@ -104,15 +129,42 @@ def main():
           f"({n_coll} collectives x {L_COLL*1e6:.0f} us latency dominate)")
     print(f"  resort migration ceiling: {t_mig*1e6:.1f} us/resort "
           f"({mig_chunks} chunks x {slot_row_bytes/1e3:.1f} KB)")
+    print(f"  live-chunk skew (max/mean - 1 over shards): {skew_frac*100:.1f}%")
 
-    # Efficiency vs measured single-chip substep times (BASELINE round 3).
-    for t_sub_ms, label, f_res in ((10.5, "settled (resort ~1/50 substeps)", 0.02),
-                                   (18.4, "falling (resort every substep)", 1.0)):
+    # Efficiency vs measured single-chip substep times (round 5:
+    # 9.5 ms composed substep at sand3@1M falling, ~5 ms settled @500k).
+    # Resort cost scales with the slot TABLE size: full resort ~11 ms at the
+    # 500k config's 6656 chunks -> per-shard tables of `max_chunks`.
+    # f_drift = shard-local drift-resort rate (stalls neighbors at the next
+    # rendezvous); f_epoch = collective migration-epoch rate (cross-tile
+    # advection only — slabs are along x, sand falls in y, so epochs are
+    # rare even in the falling phase).
+    t_resort_shard = 11.0e-3 * max_chunks / 6656.0
+    # Single-chip resort cost for the SAME total table (the numerator must
+    # carry the same amortized resort work as the denominator — at the
+    # synchronized lower bound the term cancels exactly).
+    total_chunks = float(live_chunks.sum()) * 1.4  # + calibration slack
+    t_resort_one = 11.0e-3 * total_chunks / 6656.0
+    for t_sub_ms, label, f_drift, f_epoch in (
+        (5.0 * (n / 500_000.0), "settled", 0.02, 0.005),
+        (9.5 * (n / 1_000_000.0), "falling", 0.3, 0.02),
+    ):
+        t_one = t_sub_ms / 1e3 + f_drift * t_resort_one
         t_chip = t_sub_ms / 1e3 / s_chips  # perfect N/S work split
-        t_step = max(t_chip, t_comm) + f_res * t_mig
-        eff = (t_sub_ms / 1e3) / (s_chips * t_step)
-        print(f"  {label}: t_chip={t_chip*1e3:.2f} ms "
-          f"t_step={t_step*1e3:.2f} ms  efficiency ~{eff*100:.0f}%")
+        t_skew = skew_frac * t_chip
+        # Desync-resort stall band: synchronized-drift lower bound (all
+        # shards resort the same substep — the coherent-motion case — so
+        # stalls overlap) to independent-resort upper bound.
+        stall_lo = f_drift * t_resort_shard
+        stall_hi = min(1.0, s_chips * f_drift) * t_resort_shard
+        base = max(t_chip + t_skew, t_comm) + f_epoch * t_mig
+        t_lo, t_hi = base + stall_lo, base + stall_hi
+        eff_lo = t_one / (s_chips * t_hi)
+        eff_hi = t_one / (s_chips * t_lo)
+        print(f"  {label}: t_chip={t_chip*1e3:.2f} ms skew={t_skew*1e3:.2f} ms"
+              f" resort_stall={stall_lo*1e3:.2f}-{stall_hi*1e3:.2f} ms"
+              f" t_step={t_lo*1e3:.2f}-{t_hi*1e3:.2f} ms"
+              f"  efficiency ~{eff_lo*100:.0f}-{eff_hi*100:.0f}%")
 
 
 if __name__ == "__main__":

@@ -42,15 +42,17 @@ from sparkl_tpu.models import plasticity as plas
 from sparkl_tpu.sparse.blocks import region_cells, region_side
 from sparkl_tpu.fused import layout as L
 
-# Chunks per Pallas program. 8 chunks = [8, C] per-particle tiles (one
-# native (8, 128) vreg per op); LARGER values stack chunks on the sublane
-# axis so each op covers R/8 independent vregs — the per-particle physics is
-# one long serial dependency chain, and multi-vreg ops are the only
-# latency-hiding lever inside it. Env-overridable for ablation
-# (SPARKL_CHUNKS_PER_PROGRAM); max_chunks capacities are kept multiples of
-# 512 by calibrate_ob2 / the regrow paths, so any power-of-two <= 512 works.
+# Chunks per Pallas program. The per-chunk loop keeps per-particle math on
+# [8, C] tiles either way; LARGER values amortize per-program fixed costs
+# (block DMA issue, gate check, weight-table SMEM reads) over more chunks.
+# Round-3b measured nr=8 best on the THEN-kernels; round 5 re-measured on
+# the aliased/gated kernels at sand3@1M: nr=8 93.4 M pups/s median,
+# nr=32 99.2, nr=64 99.0 (the round-3 nr=64 scoped-VMEM OOM is gone — the
+# in-place slot aliasing halved resident VMEM). Default 32. Env-overridable
+# (SPARKL_CHUNKS_PER_PROGRAM); _r_of halves it until it divides max_chunks,
+# so any power-of-two works with any capacity quantum.
 CHUNKS_PER_PROGRAM = int(__import__("os").environ.get(
-    "SPARKL_CHUNKS_PER_PROGRAM", "8"))
+    "SPARKL_CHUNKS_PER_PROGRAM", "32"))
 if CHUNKS_PER_PROGRAM < 1 or (CHUNKS_PER_PROGRAM & (CHUNKS_PER_PROGRAM - 1)):
     raise ValueError(
         "SPARKL_CHUNKS_PER_PROGRAM must be a positive power of two "
