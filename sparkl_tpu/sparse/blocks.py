@@ -211,20 +211,18 @@ def particle_block_key(grid: GridParams, position, valid):
 
 
 def _compact_flagged(values, flags, capacity, fill):
-    """First-`capacity` values where flags, in order (sort-based compaction)."""
-    n = values.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    sort_key = jnp.where(flags, pos, n + pos)  # flagged first, stable order
-    order = jnp.argsort(sort_key)
-    take = min(capacity, n)
-    compacted = values[order[:take]]
-    if take < capacity:
-        compacted = jnp.concatenate(
-            [compacted, jnp.full((capacity - take,), fill, values.dtype)]
-        )
-    k = jnp.sum(flags.astype(jnp.int32))
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    return jnp.where(idx < k, compacted, fill), k
+    """First-`capacity` values where flags, in order (cumsum + scatter).
+
+    A full argsort here cost one extra bitonic sort over N per call — and
+    build_slot_structure calls this twice on [D*C]-sized arrays right after
+    its main sort, tripling the resort build's sort traffic. The compaction
+    is an O(N) prefix sum + one scatter instead: dest = rank among flagged,
+    unflagged rows scatter out of bounds and are dropped."""
+    cf = jnp.cumsum(flags.astype(jnp.int32))
+    k = cf[-1]
+    dest = jnp.where(flags, cf - 1, capacity)
+    out = jnp.full((capacity,), fill, values.dtype)
+    return out.at[dest].set(values, mode="drop"), k
 
 
 def build_structure(
