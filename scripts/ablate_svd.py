@@ -17,14 +17,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+_HERE = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+sys.path.insert(0, _HERE)                    # for ablate_kernels import
+sys.path.insert(0, __import__("os").path.dirname(_HERE))  # repo root
 
 import sparkl_tpu as sk
 import sparkl_tpu.scenes as scenes
 from sparkl_tpu.fused import kernels as K
 from sparkl_tpu.fused.pipeline import FusedMpmPipeline
 from sparkl_tpu.models import plasticity as plas
-from sparkl_tpu.math import svd as svd_mod
+import importlib
+svd_mod = importlib.import_module("sparkl_tpu.math.svd")
 from sparkl_tpu.math import cmat
 from sparkl_tpu.utils.timings import _null_ms
 

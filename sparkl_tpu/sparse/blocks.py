@@ -211,18 +211,25 @@ def particle_block_key(grid: GridParams, position, valid):
 
 
 def _compact_flagged(values, flags, capacity, fill):
-    """First-`capacity` values where flags, in order (cumsum + scatter).
+    """First-`capacity` values where flags, in order (cumsum + searchsorted).
 
     A full argsort here cost one extra bitonic sort over N per call — and
     build_slot_structure calls this twice on [D*C]-sized arrays right after
-    its main sort, tripling the resort build's sort traffic. The compaction
-    is an O(N) prefix sum + one scatter instead: dest = rank among flagged,
-    unflagged rows scatter out of bounds and are dropped."""
+    its main sort, tripling the resort build's sort traffic. Instead: one
+    O(N) prefix sum, then the position of output rank j is the first index
+    where the inclusive cumsum reaches j+1 — a batched binary search over
+    the (sorted) cumsum, i.e. log2(N) vectorized gathers of `capacity`
+    elements, followed by ONE gather of the compacted values. (A scatter
+    formulation was measured 3x WORSE than the argsort on TPU — XLA:TPU
+    scatter with unannotated indices serializes; the gather form measures
+    ~4x better than the argsort at N=852k.)"""
+    n = values.shape[0]
     cf = jnp.cumsum(flags.astype(jnp.int32))
     k = cf[-1]
-    dest = jnp.where(flags, cf - 1, capacity)
-    out = jnp.full((capacity,), fill, values.dtype)
-    return out.at[dest].set(values, mode="drop"), k
+    ranks = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(cf, ranks, side="left").astype(jnp.int32)
+    out = values[jnp.minimum(pos, n - 1)]
+    return jnp.where(ranks <= k, out, fill), k
 
 
 def build_structure(
