@@ -192,25 +192,18 @@ def _cardano_trig_vals(a00, a01, a02, a11, a12, a22):
     return l0, l1, l2
 
 
-def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
-    """Closed-form eigendecomposition of a symmetric 3x3 (components already
-    scale-normalized): eigenvalues by the trigonometric Cardano formula,
-    eigenvectors by max-norm row cross products of (A - lambda I) anchored at
-    the better-separated end of the spectrum (clustered eigenvalues have
-    ill-conditioned individual eigenvectors but any orthonormal basis of the
-    cluster subspace is equally valid — the Gram-Schmidt fallbacks pick one).
-    Returns ([l0, l1, l2] descending, cols = [v0, v1, v2] as 3-tuples)."""
-    one = jnp.ones_like(a00)
-    zero = jnp.zeros_like(a00)
+def _cardano_refined_vals(a00, a01, a02, a11, a12, a22):
+    """Descending eigenvalues of a PSD symmetric 3x3 (components already
+    scale-normalized): trigonometric Cardano + invariant refinement.
 
+    The trig formula loses the SMALL eigenvalues to f32 cancellation when
+    the spectrum spans orders of magnitude (they come out as differences of
+    O(q) quantities). l0 is always accurate; recover l2 from the determinant
+    (l0*l1*l2 = det A, a well-conditioned product) and l1 from the second
+    invariant (l0*l1 + l0*l2 + l1*l2 = I2), then re-refine l2. Skipped where
+    denominators are degenerate."""
     l0, l1, l2 = _cardano_trig_vals(a00, a01, a02, a11, a12, a22)
 
-    # Invariant refinement: the trig formula loses the SMALL eigenvalues to
-    # f32 cancellation when the spectrum spans orders of magnitude (they come
-    # out as differences of O(q) quantities). l0 is always accurate; recover
-    # l2 from the determinant (l0*l1*l2 = det A, a well-conditioned product)
-    # and l1 from the second invariant (l0*l1 + l0*l2 + l1*l2 = I2), then
-    # re-refine l2. Skipped where denominators are degenerate.
     i2 = (
         a00 * a11 - a01 * a01
         + a00 * a22 - a02 * a02
@@ -237,6 +230,138 @@ def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
     )
     l1 = jnp.where(ok1, l1r, jnp.maximum(l1, 0.0))
     l2 = _refine_l2(l1)
+    return l0, l1, l2
+
+
+def spd_poly3_prepare_c(f, tau=1e-3):
+    """Eigenvector-free symmetric-function machinery for a nested-list 3x3 F.
+
+    Computes C = FᵀF (scale-normalized), its refined descending eigenvalues
+    λ₀ ≥ λ₁ ≥ λ₂, and returns ``(s, apply)`` where ``s`` are F's singular
+    values (identical to svd3x3_c's cardano-path values) and ``apply(w)``
+    evaluates V·diag(w)·Vᵀ — the unique quadratic matrix polynomial in C
+    interpolating node values w_i at λ_i — WITHOUT ever constructing the
+    eigenvector columns:
+
+        p(C) = w₀·I + w[01]·(C−λ₀I) + w[012]·(C−λ₀I)(C−λ₁I)
+
+    (Newton form; exact at the three nodes, which is all a matrix function
+    of C needs.) Every U/V consumer in the fused kernel B factors through
+    this: the DP return map is F' = F·apply(new_s/s) and the corotated
+    stress deviator is F·apply(w(s)/s)·Fᵀ — so the expensive eigenvector
+    construction (cross-product null spaces + Gram-Schmidt U, measured
+    0.60 + 0.36 ms @852k in scripts/ablate_svd.py) disappears entirely.
+
+    Safeguard: divided-difference denominators are clamped at tau·λ₀. For
+    clustered eigenvalues any node function Lipschitz in λ (all uses here)
+    then incurs O(tau) relative error instead of f32 cancellation blowup —
+    the same subspace-degeneracy argument that makes clustered eigenvectors
+    non-unique makes the clamped polynomial equally valid on the cluster.
+    When all w_i are equal the result is EXACTLY w·I (dd terms vanish
+    identically), so masked-out particles passing w≡1 round-trip F·I = F
+    bit-exactly.
+    """
+    f00, f01, f02 = f[0][0], f[0][1], f[0][2]
+    f10, f11, f12 = f[1][0], f[1][1], f[1][2]
+    f20, f21, f22 = f[2][0], f[2][1], f[2][2]
+
+    a00 = f00 * f00 + f10 * f10 + f20 * f20
+    a11 = f01 * f01 + f11 * f11 + f21 * f21
+    a22 = f02 * f02 + f12 * f12 + f22 * f22
+    a01 = f00 * f01 + f10 * f11 + f20 * f21
+    a02 = f00 * f02 + f10 * f12 + f20 * f22
+    a12 = f01 * f02 + f11 * f12 + f21 * f22
+
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)), jnp.abs(a22)), 1e-30
+    )
+    inv_scale = 1.0 / scale
+    a00, a11, a22 = a00 * inv_scale, a11 * inv_scale, a22 * inv_scale
+    a01, a02, a12 = a01 * inv_scale, a02 * inv_scale, a12 * inv_scale
+
+    l0, l1, l2 = _cardano_refined_vals(a00, a01, a02, a11, a12, a22)
+    l0 = jnp.maximum(l0, 0.0)
+    s0 = jnp.sqrt(l0 * scale)
+    s1 = jnp.sqrt(jnp.maximum(l1, 0.0) * scale)
+    s2 = jnp.sqrt(jnp.maximum(l2, 0.0) * scale)
+    # The smallest singular value from det(F) instead of the eigenvalues of
+    # C = FᵀF: λ₂ = det(C)/(λ₀λ₁) SQUARES the condition number (f32 loses
+    # all digits below s₂/s₀ ~ 1e-3), while det(F) = ±s₀s₁s₂ is computed on
+    # F itself and stays relatively accurate down to underflow. s₀,s₁ are
+    # well-conditioned in λ, so divide det by them. (The svd3x3_c path keeps
+    # the λ-based s₂ — its U/V reconstruction never divides by it.)
+    detf = (
+        f00 * (f11 * f22 - f12 * f21)
+        - f01 * (f10 * f22 - f12 * f20)
+        + f02 * (f10 * f21 - f11 * f20)
+    )
+    den = s0 * s1
+    det_ok = den > 1e-30
+    s2d = jnp.abs(detf) / jnp.where(det_ok, den, 1.0)
+    s2 = jnp.where(det_ok, jnp.minimum(s2d, s1), s2)
+    s = [s0, s1, s2]
+
+    # Newton basis on the NORMALIZED C (same eigenvectors; better f32
+    # conditioning): B1 = C − λ₀I and B2 = B1·(C − λ₁I), symmetric.
+    b00, b11, b22 = a00 - l0, a11 - l0, a22 - l0
+    c00, c11, c22 = a00 - l1, a11 - l1, a22 - l1
+    m00 = b00 * c00 + a01 * a01 + a02 * a02
+    m11 = a01 * a01 + b11 * c11 + a12 * a12
+    m22 = a02 * a02 + a12 * a12 + b22 * c22
+    m01 = b00 * a01 + a01 * c11 + a02 * a12
+    m02 = b00 * a02 + a01 * a12 + a02 * c22
+    m12 = a01 * a02 + b11 * a12 + a12 * c22
+
+    guard = tau * jnp.maximum(l0, 1e-20)
+    den01 = jnp.maximum(l0 - l1, guard)
+    den12 = jnp.maximum(l1 - l2, guard)
+    den02 = jnp.maximum(l0 - l2, guard)
+
+    def apply(w):
+        w0, w1, w2 = w
+        dd01 = (w0 - w1) / den01
+        dd12 = (w1 - w2) / den12
+        dd2 = (dd01 - dd12) / den02
+        # Amplification caps: the Newton basis matrices carry irreducible f32
+        # rounding ~eps·λ₀ (B1) / ~eps·λ₀² (B2) OUTSIDE the subspace they
+        # annihilate exactly in exact arithmetic, so a divided difference of
+        # magnitude D leaks ~D·eps noise into the LARGE-eigenvalue directions
+        # (whose target values are w₀, w₁). Cap |dd| relative to those
+        # targets: leak stays ≲3e-3·max(|w₀|,|w₁|,1) while the cap can only
+        # engage when the spectrum spans >4 orders of magnitude AND the node
+        # function is 1/s-like on the smallest eigenvalue — an extreme-crush
+        # corner where under-reconstructing w₂ is benign (the crushed
+        # principal stretch gets partially instead of fully restored,
+        # bounded; the next substep re-projects). p(λ₀), p(λ₁) stay exact
+        # under a dd2 cap. (λ₀ ∈ [1, 3] after the max-diagonal
+        # normalization, absorbed into the constants.)
+        cap1 = 5e4 * jnp.maximum(jnp.abs(w0), 1.0)
+        cap2 = 2e4 * jnp.maximum(jnp.maximum(jnp.abs(w0), jnp.abs(w1)), 1.0)
+        dd01 = jnp.clip(dd01, -cap1, cap1)
+        dd2 = jnp.clip(dd2, -cap2, cap2)
+        o00 = w0 + dd01 * b00 + dd2 * m00
+        o11 = w0 + dd01 * b11 + dd2 * m11
+        o22 = w0 + dd01 * b22 + dd2 * m22
+        o01 = dd01 * a01 + dd2 * m01
+        o02 = dd01 * a02 + dd2 * m02
+        o12 = dd01 * a12 + dd2 * m12
+        return [[o00, o01, o02], [o01, o11, o12], [o02, o12, o22]]
+
+    return s, apply
+
+
+def _sym_eig3x3_cardano(a00, a01, a02, a11, a12, a22):
+    """Closed-form eigendecomposition of a symmetric 3x3 (components already
+    scale-normalized): eigenvalues by the trigonometric Cardano formula,
+    eigenvectors by max-norm row cross products of (A - lambda I) anchored at
+    the better-separated end of the spectrum (clustered eigenvalues have
+    ill-conditioned individual eigenvectors but any orthonormal basis of the
+    cluster subspace is equally valid — the Gram-Schmidt fallbacks pick one).
+    Returns ([l0, l1, l2] descending, cols = [v0, v1, v2] as 3-tuples)."""
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+
+    l0, l1, l2 = _cardano_refined_vals(a00, a01, a02, a11, a12, a22)
 
     def row_cross_null(l):
         """Max-norm cross product of rows of (A - l I) — the null direction

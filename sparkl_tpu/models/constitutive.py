@@ -83,6 +83,43 @@ def corotated_kirchhoff_stress_from_svd_c(
     return cmat.add_c(cmat.scale_c(pos_part, phase_coeff), neg_part)
 
 
+def corotated_kirchhoff_stress_eigfree_c(
+    lam, mu, split_on_failure, phase, hardening, f, s, papply
+):
+    """Eigenvector-free corotated Kirchhoff stress (fused-kernel fast path).
+
+    Same value as corotated_kirchhoff_stress_from_svd_c, computed without
+    U/V: for any per-singular-value weights w, U·diag(w)·Vᵀ·Fᵀ =
+    F·p(C)·Fᵀ with C = FᵀF and p the polynomial interpolating w_i/s_i at
+    C's eigenvalues (u_k = F v_k / s_k). The pos/neg split and the phase
+    coefficient fold into ONE set of node values, so the whole deviatoric
+    part costs one polynomial + one congruence F·W·Fᵀ.
+
+    `s` must be the singular values of THIS f (e.g. post-projection s_sel
+    with broken slots forced to 1) and `papply` the spd_poly3_prepare_c
+    apply for a C sharing f's right-singular-vectors (the DP return map
+    only rescales singular values, so the pre-projection basis is valid).
+    Node denominators are clamped at 1e-5·s₀: below that (a >10⁵:1 crushed
+    principal stretch) the stress in the crushed direction — which tends
+    to 0 like s·(s-1) — is underestimated rather than amplified into f32
+    garbage.
+    """
+    j = cmat.det_c(f)
+    phase_coeff = jnp.where((split_on_failure != 0.0) & (phase == 0.0), 0.0, 1.0)
+    sden = [jnp.maximum(si, 1e-5 * s[0] + 1e-30) for si in s]
+    w = [
+        (phase_coeff * jnp.maximum(si - 1.0, 0.0) + jnp.minimum(si - 1.0, 0.0)) / dn
+        for si, dn in zip(s, sden)
+    ]
+    wmat = papply(w)
+    dev = cmat.scale_c(
+        cmat.matmul_nt_c(cmat.matmul_c(f, wmat), f), 2.0 * mu * hardening
+    )
+    spherical = lam * hardening * (j - 1.0) * j
+    sph = jnp.where(j < 1.0, spherical, phase_coeff * spherical)
+    return cmat.add_diag_c(dev, sph)
+
+
 def corotated_elastic_energy_density(lam, mu, hardening, f):
     """µh Σ(σᵢ-1)² + λh/2 (J-1)². Ref: `elastic_energy_density`."""
     _, s, _ = svd(f)

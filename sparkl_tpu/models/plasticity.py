@@ -78,17 +78,17 @@ def drucker_prager_update_c(
     return out[:4]
 
 
-def drucker_prager_update_with_svd_c(
-    params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain, usv
+def drucker_prager_project_s_c(
+    params, phase, s, plastic_def_det, plastic_hardening, log_vol_gain
 ):
-    """drucker_prager_update_c with a caller-supplied SVD of f. Additionally
-    returns the projected singular values s_sel (f_new = U diag(s_sel) Vᵀ
-    exactly, since the return map only rescales singular values) — lets the
-    caller carry a valid SVD of the projected F without re-decomposing."""
+    """Scalar core of the DP return map: acts on the singular values only
+    (no matrices). Returns (s_sel, new_pdd, new_ph, new_lvg, applied) where
+    s_sel = projected singular values where `applied`, else s. Shared by the
+    SVD recompose path (drucker_prager_update_with_svd_c) and the
+    eigenvector-free fused-kernel path (F' = F·p(FᵀF) with node values
+    s_sel/s — see math/svd.spd_poly3_prepare_c)."""
     h0, h1, h2, h3, lam, mu, only_when_failed, vol_corr = params
-    d = len(f)
-
-    u, s, v = usv
+    d = len(s)
     alpha = drucker_prager_alpha(h0, h1, h2, h3, plastic_hardening)
 
     strain = [jnp.log(jnp.maximum(si, 1e-20)) + log_vol_gain / d for si in s]
@@ -133,10 +133,24 @@ def drucker_prager_update_with_svd_c(
         0.0,
     )
     new_hardening = plastic_hardening + jnp.where(applied, dq, 0.0)
-    f_proj = cmat.recompose_c(u, new_s, v)
-    f_new = cmat.where_mat(applied, f_proj, f)
     s_sel = [jnp.where(applied, ns, si) for ns, si in zip(new_s, s)]
-    return f_new, new_plastic_def_det, new_hardening, new_log_vol_gain, s_sel
+    return s_sel, new_plastic_def_det, new_hardening, new_log_vol_gain, applied
+
+
+def drucker_prager_update_with_svd_c(
+    params, phase, f, plastic_def_det, plastic_hardening, log_vol_gain, usv
+):
+    """drucker_prager_update_c with a caller-supplied SVD of f. Additionally
+    returns the projected singular values s_sel (f_new = U diag(s_sel) Vᵀ
+    exactly, since the return map only rescales singular values) — lets the
+    caller carry a valid SVD of the projected F without re-decomposing."""
+    u, s, v = usv
+    s_sel, new_pdd, new_ph, new_lvg, applied = drucker_prager_project_s_c(
+        params, phase, s, plastic_def_det, plastic_hardening, log_vol_gain
+    )
+    f_proj = cmat.recompose_c(u, s_sel, v)
+    f_new = cmat.where_mat(applied, f_proj, f)
+    return f_new, new_pdd, new_ph, new_lvg, s_sel
 
 
 # ---------------------------------------------------------------------------
